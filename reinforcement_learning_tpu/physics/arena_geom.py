@@ -1,0 +1,173 @@
+"""Analytic soccar arena collision geometry.
+
+The reference collides against 16 triangle meshes loaded from ``.cmf`` files
+(reference: CollisionMeshFile/, RocketSim.cpp:102-212) plus four implicit
+planes.  For a TPU-native engine we want collision queries that are pure
+branch-free array math, so the arena is modeled as a fixed set of half-space
+planes with region-of-validity masks:
+
+  * floor z=0, ceiling z=2048
+  * side walls |x| = 4096
+  * back walls |y| = 5120 with the goal opening cut out
+  * 45-degree corner walls |x| + |y| = 8064
+  * goal box: side walls |x| = GOAL_HALF_WIDTH, ceiling z = GOAL_HEIGHT,
+    net back wall |y| = 5120 + GOAL_DEPTH
+
+This matches the real arena's plan-view footprint and bounce behavior on all
+flat sections; the curved floor/wall/ceiling transition ramps of the real
+mesh are approximated by the sharp plane intersections (upgrade path: swap
+`query_*` for a baked SDF/mesh-grid lookup with identical signatures).
+
+All queries are shape-polymorphic and vmap/jit safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from reinforcement_learning_tpu import constants as C
+from reinforcement_learning_tpu import maths as m
+
+# Plane set: (normal, offset d) with plane eq  n . p - d = 0, n pointing into
+# the arena interior.  Conditional planes get a validity mask computed from
+# the query position.
+_SQ2 = 1.0 / np.sqrt(2.0)
+
+# Static plane table, built once at import (host-side numpy).
+#   [nx, ny, nz, d] with signed distance = n . p + d  (>0 inside the arena)
+_PLANES = np.array([
+    [0, 0, 1, 0],                               # floor
+    [0, 0, -1, C.ARENA_HEIGHT],                 # ceiling
+    [1, 0, 0, C.ARENA_EXTENT_X],                # wall x = -4096
+    [-1, 0, 0, C.ARENA_EXTENT_X],               # wall x = +4096
+    [0, 1, 0, C.ARENA_EXTENT_Y],                # back wall y = -5120
+    [0, -1, 0, C.ARENA_EXTENT_Y],               # back wall y = +5120
+    [_SQ2, _SQ2, 0, C.ARENA_CORNER_INTERCEPT * _SQ2],    # corner -x -y
+    [-_SQ2, _SQ2, 0, C.ARENA_CORNER_INTERCEPT * _SQ2],   # corner +x -y
+    [_SQ2, -_SQ2, 0, C.ARENA_CORNER_INTERCEPT * _SQ2],   # corner -x +y
+    [-_SQ2, -_SQ2, 0, C.ARENA_CORNER_INTERCEPT * _SQ2],  # corner +x +y
+    # goal box (valid only when inside the goal opening / behind the wall)
+    [1, 0, 0, C.GOAL_HALF_WIDTH],               # goal side x = -893
+    [-1, 0, 0, C.GOAL_HALF_WIDTH],              # goal side x = +893
+    [0, 0, -1, C.GOAL_HEIGHT],                  # goal ceiling
+    [0, 1, 0, C.ARENA_EXTENT_Y + C.GOAL_DEPTH],   # net y = -6000
+    [0, -1, 0, C.ARENA_EXTENT_Y + C.GOAL_DEPTH],  # net y = +6000
+], dtype=np.float32)
+
+NUM_PLANES = _PLANES.shape[0]
+PLANE_N = jnp.asarray(_PLANES[:, :3])
+PLANE_D = jnp.asarray(_PLANES[:, 3])
+
+# Indices for readability
+FLOOR, CEILING, WALL_XN, WALL_XP, WALL_YN, WALL_YP = range(6)
+CORNER0 = 6
+GOAL_XN, GOAL_XP, GOAL_CEIL, NET_YN, NET_YP = 10, 11, 12, 13, 14
+
+
+def plane_validity(pos: jnp.ndarray) -> jnp.ndarray:
+    """(..., NUM_PLANES) bool: which planes can act on a query at ``pos``.
+
+    The back wall is cut out over the goal opening; the goal-box planes act
+    only near/inside the goal.
+    """
+    x, y, z = pos[..., 0], pos[..., 1], pos[..., 2]
+    in_goal_xz = (jnp.abs(x) < C.GOAL_HALF_WIDTH) & (z < C.GOAL_HEIGHT)
+    behind_wall = jnp.abs(y) > C.ARENA_EXTENT_Y
+
+    valid = jnp.ones(pos.shape[:-1] + (NUM_PLANES,), bool)
+    # Back walls do not apply inside the goal opening
+    valid = valid.at[..., WALL_YN].set(~(in_goal_xz & (y < 0)))
+    valid = valid.at[..., WALL_YP].set(~(in_goal_xz & (y > 0)))
+    # Goal box planes apply only when behind the goal line (inside goal)
+    valid = valid.at[..., GOAL_XN].set(behind_wall)
+    valid = valid.at[..., GOAL_XP].set(behind_wall)
+    valid = valid.at[..., GOAL_CEIL].set(behind_wall)
+    valid = valid.at[..., NET_YN].set(y < 0)
+    valid = valid.at[..., NET_YP].set(y > 0)
+    return valid
+
+
+def signed_distances(pos: jnp.ndarray) -> jnp.ndarray:
+    """(..., NUM_PLANES) signed distance of ``pos`` to each plane (positive
+    = inside the arena)."""
+    return jnp.einsum('...i,pi->...p', pos, PLANE_N) + PLANE_D
+
+
+def sphere_contacts(pos: jnp.ndarray, radius: float):
+    """Sphere-vs-arena contacts.
+
+    Returns (normal (..., P, 3), depth (..., P), active (..., P)): for each
+    plane, penetration depth (>0 means touching) and whether the contact is
+    active.
+    """
+    dist = signed_distances(pos)
+    valid = plane_validity(pos)
+    depth = radius - dist
+    active = valid & (depth > 0)
+    normals = jnp.broadcast_to(PLANE_N, pos.shape[:-1] + (NUM_PLANES, 3))
+    return normals, depth, active
+
+
+def box_support_radius(rot: jnp.ndarray, half_extents: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """(..., P): effective radius of an oriented box against each plane
+    normal — sum_i |h_i * (n . axis_i)|."""
+    # rot columns are local axes in world frame: (..., 3, 3)
+    # n . axis_i  => (..., P, 3)
+    proj = jnp.einsum('pi,...ij->...pj', PLANE_N, rot)
+    return jnp.sum(jnp.abs(proj) * half_extents[..., None, :], axis=-1)
+
+
+def box_contacts(pos: jnp.ndarray, rot: jnp.ndarray,
+                 half_extents: jnp.ndarray):
+    """Oriented-box-vs-arena contacts (one representative contact per plane).
+
+    Returns (normal (..., P, 3), point (..., P, 3), depth (..., P),
+    active (..., P)).  The contact point is the box support point in the
+    -normal direction, matching what bullet's one-deepest-point manifold
+    converges to against a flat surface.
+    """
+    dist = signed_distances(pos)
+    valid = plane_validity(pos)
+    r_eff = box_support_radius(rot, half_extents)
+    depth = r_eff - dist
+    active = valid & (depth > 0)
+    # support point: center - sum_i sign(n . a_i) h_i a_i
+    proj = jnp.einsum('pi,...ij->...pj', PLANE_N, rot)  # (..., P, 3)
+    signs = jnp.sign(proj)
+    # (..., P, 3): sum over local axes j of sign*h_j*axis_j
+    offset = jnp.einsum('...pj,...ij->...pi', signs * half_extents[..., None, :],
+                        rot)
+    point = pos[..., None, :] - offset
+    normals = jnp.broadcast_to(PLANE_N, dist.shape + (3,))
+    return normals, point, depth, active
+
+
+def raycast_down_dir(start: jnp.ndarray, direction: jnp.ndarray,
+                     max_len) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Raycast against the arena planes.
+
+    start: (..., 3), direction: (..., 3) unit, max_len: scalar or (...,).
+    Returns (hit (...,), dist (...,), normal (..., 3)); dist = max_len when
+    no hit.  Mirrors the suspension raycast the reference does against the
+    world meshes (btVehicleRL.cpp:118-212) for the planar arena model.
+    """
+    dist_p = signed_distances(start)                       # (..., P)
+    valid = plane_validity(start)
+    denom = -jnp.einsum('...i,pi->...p', direction, PLANE_N)  # approach rate
+    t = jnp.where(denom > 1e-6, dist_p / jnp.maximum(denom, 1e-6), jnp.inf)
+    t = jnp.where(valid & (t >= 0), t, jnp.inf)
+    t_min = jnp.min(t, axis=-1)
+    idx = jnp.argmin(t, axis=-1)
+    hit = t_min <= max_len
+    dist = jnp.where(hit, t_min, max_len)
+    normal = PLANE_N[idx]
+    return hit, dist, normal
+
+
+def is_ball_scored(ball_pos: jnp.ndarray,
+                   ball_radius: float = C.BALL_COLLISION_RADIUS_SOCCAR,
+                   goal_threshold_y: float = C.SOCCAR_GOAL_SCORE_BASE_THRESHOLD_Y):
+    """Reference: Arena::IsBallScored (Arena.cpp:949-957)."""
+    return jnp.abs(ball_pos[..., 1]) > (goal_threshold_y + ball_radius)

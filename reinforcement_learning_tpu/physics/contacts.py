@@ -1,0 +1,424 @@
+"""Contact generation + impulse resolution for one arena.
+
+Reimplements the subset of the reference's patched Bullet solver that the
+game actually exercises:
+
+  * sequential-impulse contact with restitution threshold and split-impulse
+    positional pushout (reference: btSequentialImpulseConstraintSolver.cpp
+    :795-980 setupContactConstraint; erp2=0.8 and huge split threshold set in
+    Arena.cpp:485-489)
+  * the ROCKETSIM "special" ball-world resolve that merges all ball-world
+    manifold points into one averaged contact with no positional term
+    (reference: btSequentialImpulseConstraintSolver.cpp:1164-1212)
+  * material combination rules: vs static -> friction=min, restitution=max;
+    dynamic pairs -> product, except pairs overridden by the arena callbacks
+    (reference: btManifoldResult.cpp:56-77, Arena.cpp:283-427)
+  * car-ball "psyonix impulse" + BallHitInfo (reference: Arena.cpp:283-334)
+  * car-car bumps and demos (reference: Arena.cpp:336-418)
+
+All math is in BT units inside this module (1 bt = 50 uu) because impulse
+denominators involve the inertia tensor; inputs/outputs are uu.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from reinforcement_learning_tpu import constants as C
+from reinforcement_learning_tpu import maths as m
+from reinforcement_learning_tpu.physics import arena_geom as geom
+from reinforcement_learning_tpu.physics.state import (BallState, CarsState,
+                                                      MutatorConfig)
+
+
+def _restitution_rhs(rel_vel, combined_restitution):
+    """bullet restitutionCurve with the velocity threshold
+    (Arena default: 0.2 bt/s)."""
+    rest = combined_restitution * -rel_vel
+    rest = jnp.where(jnp.abs(rel_vel) < 0.2, 0.0, rest)
+    return jnp.maximum(rest, 0.0)
+
+
+def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
+                               restitution_coeff, friction_coeff):
+    """One contact of a dynamic body against the static world.
+
+    Returns (dv_bt (3,), dw (3,), normal_impulse ()).  Solves the normal row
+    (lower limit 0) then one velocity-dependent friction row clamped by
+    mu * j_n, exactly like one solver iteration on a fresh constraint.
+    Shapes support leading batch axes.
+    """
+    vel_at = vel_bt + jnp.cross(ang_vel, r_bt)
+    rel_vel = m.dot(n, vel_at)
+
+    torque_axis = jnp.cross(r_bt, n)
+    ang_comp = jnp.einsum('...ij,...j->...i', inv_iw, torque_axis)
+    denom = inv_mass + m.dot(n, jnp.cross(ang_comp, r_bt))
+
+    rest = _restitution_rhs(rel_vel, restitution_coeff)
+    j_n = (rest - rel_vel) / jnp.maximum(denom, 1e-12)
+    j_n = jnp.maximum(j_n, 0.0)
+
+    imp = n * j_n[..., None]
+    dv = imp * inv_mass
+    dw = jnp.einsum('...ij,...j->...i', inv_iw, jnp.cross(r_bt, imp))
+
+    # Friction: tangential direction from post-normal-impulse velocity
+    vel_at2 = (vel_bt + dv) + jnp.cross(ang_vel + dw, r_bt)
+    tang = vel_at2 - n * m.dot(n, vel_at2, keepdims=True)
+    t_len = m.norm(tang, keepdims=True)
+    t_dir = jnp.where(t_len > 1e-9, tang / jnp.maximum(t_len, 1e-9), 0.0)
+
+    t_axis = jnp.cross(r_bt, t_dir)
+    t_ang = jnp.einsum('...ij,...j->...i', inv_iw, t_axis)
+    t_denom = inv_mass + m.dot(t_dir, jnp.cross(t_ang, r_bt))
+    rel_vel_t = m.dot(t_dir, vel_at2)
+    j_t = -rel_vel_t / jnp.maximum(t_denom, 1e-12)
+    j_t = jnp.clip(j_t, -friction_coeff * j_n, friction_coeff * j_n)
+
+    imp_t = t_dir * j_t[..., None]
+    dv = dv + imp_t * inv_mass
+    dw = dw + jnp.einsum('...ij,...j->...i', inv_iw,
+                         jnp.cross(r_bt, imp_t))
+    return dv, dw, j_n
+
+
+def resolve_ball_world(ball: BallState, mut: MutatorConfig):
+    """Ball vs arena: the ROCKETSIM merged special contact.
+
+    Returns (dvel_uu (3,), dang_vel (3,), pos_push_uu (3,), touching ()).
+    """
+    normals, depth, active = geom.sphere_contacts(ball.pos, mut.ball_radius)
+    num = jnp.sum(active)
+    touching = num > 0
+
+    navg = jnp.sum(jnp.where(active[:, None], normals, 0.0), axis=0) / (
+        jnp.maximum(num, 1))
+    # rel_pos magnitude: contact point on sphere surface (~radius - depth)
+    dists = (mut.ball_radius - jnp.maximum(depth, 0.0)) * C.UU_TO_BT
+    dist = jnp.sum(jnp.where(active, dists, 0.0)) / jnp.maximum(num, 1)
+    r_bt = -navg * dist
+
+    ball_inv_mass = 1.0 / mut.ball_mass
+    # Solid-sphere inertia matches bullet btSphereShape::calculateLocalInertia
+    inertia = 0.4 * mut.ball_mass * (mut.ball_radius * C.UU_TO_BT) ** 2
+    inv_iw = jnp.eye(3) / inertia
+
+    restitution = max(mut.ball_world_restitution, C.WORLD_RESTITUTION)
+    friction = min(mut.ball_world_friction, C.WORLD_FRICTION)
+
+    dv_bt, dw, _ = _contact_impulse_vs_static(
+        ball.vel * C.UU_TO_BT, ball.ang_vel, r_bt, navg,
+        ball_inv_mass, inv_iw, restitution, friction)
+
+    # The special contact carries no positional term (distance positive in
+    # the reference), but the regular (skipped) manifolds' split-impulse
+    # pushout is approximated here to keep the ball from sinking through
+    # planes under load.
+    max_depth = jnp.max(jnp.where(active, depth, 0.0))
+    push = navg * max_depth * C.SOLVER_ERP2
+
+    zero = jnp.zeros(3)
+    return (jnp.where(touching, dv_bt * C.BT_TO_UU, zero),
+            jnp.where(touching, dw, zero),
+            jnp.where(touching, push, zero),
+            touching)
+
+
+def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
+                      mut: MutatorConfig, inv_iw):
+    """Car hitbox vs arena planes.
+
+    Per plane: centroid of penetrating hitbox corners as the contact point.
+    Returns (dvel_uu (C,3), dang_vel (C,3), pos_push_uu (C,3),
+    has_contact (C,), contact_normal (C,3)).
+    """
+    # Hitbox center is offset from the center of mass
+    # (reference: Car.cpp:196-203 compound shape child offset)
+    box_center = cars.pos + m.rotate(cars.rot, hitbox_offset)
+
+    # 8 corners in local box frame
+    sx, sy, sz = half_extents
+    corners_local = jnp.array(
+        [[ix * sx, iy * sy, iz * sz]
+         for ix in (-1, 1) for iy in (-1, 1) for iz in (-1, 1)],
+        jnp.float32)  # (8, 3)
+    corners = box_center[:, None, :] + m.rotate(cars.rot[:, None], corners_local)
+
+    # (C, 8, P) signed distance of each corner to each plane
+    d = jnp.einsum('cki,pi->ckp', corners, geom.PLANE_N) + geom.PLANE_D
+    valid = geom.plane_validity(cars.pos)  # (C, P)
+    pen = -d  # > 0 when corner is behind the plane
+    corner_active = valid[:, None, :] & (pen > 0)
+
+    ncontacts = jnp.sum(corner_active, axis=1)  # (C, P)
+    plane_active = ncontacts > 0
+
+    w = corner_active.astype(jnp.float32)
+    centroid = jnp.einsum('ckp,cki->cpi', w, corners) / jnp.maximum(
+        ncontacts, 1)[..., None]
+    max_depth = jnp.max(jnp.where(corner_active, pen, 0.0), axis=1)  # (C, P)
+
+    inv_mass = 1.0 / mut.car_mass
+
+    # Resolve each active plane contact (independent/jacobi over planes;
+    # simultaneous multi-plane car contacts are rare outside corners)
+    n = jnp.broadcast_to(geom.PLANE_N, centroid.shape)  # (C, P, 3)
+    r_bt = (centroid - cars.pos[:, None, :]) * C.UU_TO_BT
+    dv_bt, dw, _ = _contact_impulse_vs_static(
+        cars.vel[:, None, :] * C.UU_TO_BT,
+        jnp.broadcast_to(cars.ang_vel[:, None, :], centroid.shape),
+        r_bt, n, inv_mass, inv_iw[:, None],
+        mut.car_world_restitution, mut.car_world_friction)
+
+    act = plane_active[..., None]
+    dvel = jnp.sum(jnp.where(act, dv_bt, 0.0), axis=1) * C.BT_TO_UU
+    dang = jnp.sum(jnp.where(act, dw, 0.0), axis=1)
+    push = jnp.sum(jnp.where(act, n * (max_depth * C.SOLVER_ERP2)[..., None],
+                             0.0), axis=1)
+
+    has_contact = jnp.any(plane_active, axis=1)
+    nsum = jnp.sum(jnp.where(act, n, 0.0), axis=1)
+    contact_normal = jnp.where(has_contact[:, None], m.normalize(nsum),
+                               jnp.zeros_like(nsum))
+    return dvel, dang, push, has_contact, contact_normal
+
+
+def closest_point_on_box(point, box_center, box_rot, half_extents):
+    """Closest point on an oriented box to ``point`` (world frame)."""
+    local = m.inv_rotate(box_rot, point - box_center)
+    clamped = jnp.clip(local, -half_extents, half_extents)
+    return box_center + m.rotate(box_rot, clamped), local, clamped
+
+
+def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
+                     half_extents, hitbox_offset, mut: MutatorConfig,
+                     inv_iw_cars):
+    """Car-ball contact: physical impulse (friction 2.0, restitution 0 —
+    Arena.cpp:289-291) + the psyonix extra impulse into the ball's velocity
+    cache (Arena.cpp:283-334).
+
+    Returns (car dvel (C,3), car dang (C,3), ball dvel (3,),
+    ball dang (3,), ball_cache_dv (3,), hit_info_updates dict,
+    touched (C,)).
+    """
+    box_center = cars.pos + m.rotate(cars.rot, hitbox_offset)
+    closest, local, _ = closest_point_on_box(
+        jnp.broadcast_to(ball.pos, cars.pos.shape), box_center, cars.rot,
+        half_extents)
+    delta = ball.pos - closest
+    dist = m.norm(delta)
+    touching = dist < mut.ball_radius
+    # Normal from car to ball; if center inside box, fall back to
+    # center-to-center direction
+    n = jnp.where((dist > 1e-6)[:, None], m.normalize(delta),
+                  m.normalize(ball.pos - box_center))
+
+    car_inv_mass = 1.0 / mut.car_mass
+    ball_inv_mass = 1.0 / mut.ball_mass
+    inertia_ball = 0.4 * mut.ball_mass * (mut.ball_radius * C.UU_TO_BT) ** 2
+    inv_iw_ball = jnp.eye(3) / inertia_ball
+
+    r_car = (closest - cars.pos) * C.UU_TO_BT
+    r_ball = (closest - ball.pos) * C.UU_TO_BT
+
+    v_car = cars.vel * C.UU_TO_BT + jnp.cross(cars.ang_vel, r_car)
+    v_ball = ball.vel * C.UU_TO_BT + jnp.cross(
+        jnp.broadcast_to(ball.ang_vel, r_ball.shape), r_ball)
+    rel_vel = m.dot(n, v_ball - v_car)  # ball relative to car along n
+
+    ta_car = jnp.einsum('cij,cj->ci', inv_iw_cars, jnp.cross(r_car, n))
+    ta_ball = jnp.einsum('ij,cj->ci', inv_iw_ball, jnp.cross(r_ball, n))
+    denom = (car_inv_mass + ball_inv_mass
+             + m.dot(n, jnp.cross(ta_car, r_car))
+             + m.dot(n, jnp.cross(ta_ball, r_ball)))
+
+    # restitution 0 (CARBALL_COLLISION_RESTITUTION)
+    j_n = jnp.maximum(-rel_vel / jnp.maximum(denom, 1e-12), 0.0)
+    j_n = jnp.where(touching, j_n, 0.0)
+    imp = n * j_n[:, None]  # impulse on ball (+n), car gets -imp
+
+    # Friction (mu = 2.0)
+    v_ball2 = v_ball + imp * ball_inv_mass + jnp.cross(
+        jnp.einsum('ij,cj->ci', inv_iw_ball, jnp.cross(r_ball, imp)), r_ball)
+    v_car2 = v_car - imp * car_inv_mass + jnp.cross(
+        jnp.einsum('cij,cj->ci', inv_iw_cars, jnp.cross(r_car, -imp)), r_car)
+    rel_t = (v_ball2 - v_car2)
+    rel_t = rel_t - n * m.dot(n, rel_t, keepdims=True)
+    t_len = m.norm(rel_t, keepdims=True)
+    t_dir = jnp.where(t_len > 1e-9, rel_t / jnp.maximum(t_len, 1e-9), 0.0)
+    tt_car = jnp.einsum('cij,cj->ci', inv_iw_cars, jnp.cross(r_car, t_dir))
+    tt_ball = jnp.einsum('ij,cj->ci', inv_iw_ball, jnp.cross(r_ball, t_dir))
+    t_denom = (car_inv_mass + ball_inv_mass
+               + m.dot(t_dir, jnp.cross(tt_car, r_car))
+               + m.dot(t_dir, jnp.cross(tt_ball, r_ball)))
+    j_t = -m.dot(t_dir, v_ball2 - v_car2) / jnp.maximum(t_denom, 1e-12)
+    mu = C.CARBALL_COLLISION_FRICTION
+    j_t = jnp.clip(j_t, -mu * j_n, mu * j_n)
+    imp_t = t_dir * j_t[:, None]
+    imp_total = imp + imp_t
+
+    tmask = touching[:, None]
+    ball_dv = jnp.sum(jnp.where(tmask, imp_total, 0.0), axis=0) \
+        * ball_inv_mass * C.BT_TO_UU
+    ball_dw = jnp.einsum('ij,j->i', inv_iw_ball, jnp.sum(
+        jnp.where(tmask, jnp.cross(r_ball, imp_total), 0.0), axis=0))
+    car_dv = jnp.where(tmask, -imp_total, 0.0) * car_inv_mass * C.BT_TO_UU
+    car_dw = jnp.einsum('cij,cj->ci', inv_iw_cars,
+                        jnp.where(tmask, jnp.cross(r_car, -imp_total), 0.0))
+
+    # --- Psyonix extra impulse (Arena.cpp:304-331)
+    can_extra = touching & (
+        (tick_count > cars.ball_hit_extra_impulse_tick + 1)
+        | (cars.ball_hit_extra_impulse_tick > tick_count))
+    rel_pos = ball.pos - cars.pos
+    rel_v = ball.vel - cars.vel
+    rel_speed = jnp.minimum(m.norm(rel_v),
+                            C.BALL_CAR_EXTRA_IMPULSE_MAXDELTAVEL_UU)
+    z_scale = C.BALL_CAR_EXTRA_IMPULSE_Z_SCALE
+    hit_dir = m.normalize(rel_pos * jnp.array([1.0, 1.0, z_scale]))
+    fwd = cars.forward
+    fwd_adj = fwd * (m.dot(hit_dir, fwd)
+                     * (1.0 - C.BALL_CAR_EXTRA_IMPULSE_FORWARD_SCALE))[:, None]
+    hit_dir = m.normalize(hit_dir - fwd_adj)
+    factor = m.curve(C.BALL_CAR_EXTRA_IMPULSE_FACTOR_CURVE, rel_speed)
+    added_vel = (hit_dir * (rel_speed * factor)[:, None]
+                 * mut.ball_hit_extra_force_scale)
+    apply_extra = can_extra & (rel_speed > 0)
+    ball_cache_dv = jnp.sum(
+        jnp.where(apply_extra[:, None], added_vel, 0.0), axis=0)
+
+    # BallHitInfo updates (Arena.cpp:293-327)
+    hit_updates = dict(
+        ball_hit_valid=jnp.where(touching, True, cars.ball_hit_valid),
+        ball_hit_rel_pos=jnp.where(tmask, closest - ball.pos,
+                                   cars.ball_hit_rel_pos),
+        ball_hit_tick=jnp.where(touching, tick_count, cars.ball_hit_tick),
+        ball_hit_extra_impulse_tick=jnp.where(
+            can_extra, tick_count, cars.ball_hit_extra_impulse_tick),
+        ball_hit_ball_pos=jnp.where(tmask, ball.pos, cars.ball_hit_ball_pos),
+        ball_hit_extra_vel=jnp.where(apply_extra[:, None], added_vel,
+                                     jnp.where(tmask, 0.0,
+                                               cars.ball_hit_extra_vel)),
+    )
+    return car_dv, car_dw, ball_dv, ball_dw, ball_cache_dv, hit_updates, \
+        touching
+
+
+def car_car_interactions(cars: CarsState, teams, half_extents, hitbox_offset,
+                         mut: MutatorConfig, inv_iw):
+    """All-pairs car-car contact + bump/demo logic (Arena.cpp:336-418).
+
+    Returns (dvel (C,3), dang (C,3), cache_dv (C,3), got_demoed (C,),
+    bumped_by (C,C) bool [i bumped j], contact_updates dict).
+    """
+    num_cars = cars.pos.shape[0]
+    he = jnp.asarray(half_extents)
+
+    box_center = cars.pos + m.rotate(cars.rot, hitbox_offset)
+
+    # Pairwise proximity contact via closest-point approximation:
+    # closest point on box_i to center of box_j and vice versa.
+    ci = box_center[:, None, :]
+    cj = box_center[None, :, :]
+    # Sphere-approx contact test: project center_j into box_i frame
+    local_j = m.inv_rotate(cars.rot[:, None], cj - ci)  # (C, C, 3)
+    clamped = jnp.clip(local_j, -he, he)
+    closest_ij = ci + m.rotate(cars.rot[:, None], clamped)  # on box_i
+    # Penetrating if center_j within box_i inflated by ~half min extent
+    dist = m.norm(cj - closest_ij)
+    touch_rad = jnp.min(he)  # coarse: boxes overlap if centers this close
+    eye = jnp.eye(num_cars, dtype=bool)
+    overlap = (dist < touch_rad) & ~eye
+    both_alive = (~cars.is_demoed[:, None]) & (~cars.is_demoed[None, :])
+    overlap &= both_alive
+
+    # --- physical contact impulse (friction .09, restitution .1)
+    n = m.normalize(cj - ci)  # from car i to car j
+    contact_pt = (closest_ij + cj) * 0.5
+    inv_mass = 1.0 / mut.car_mass
+    r_i = (contact_pt - cars.pos[:, None, :]) * C.UU_TO_BT
+    r_j = (contact_pt - cars.pos[None, :, :]) * C.UU_TO_BT
+    v_i = cars.vel[:, None, :] * C.UU_TO_BT + jnp.cross(
+        jnp.broadcast_to(cars.ang_vel[:, None, :], r_i.shape), r_i)
+    v_j = cars.vel[None, :, :] * C.UU_TO_BT + jnp.cross(
+        jnp.broadcast_to(cars.ang_vel[None, :, :], r_j.shape), r_j)
+    rel_vel = m.dot(n, v_j - v_i)
+    ta_i = jnp.einsum('cij,cdj->cdi', inv_iw, jnp.cross(r_i, n))
+    ta_j = jnp.einsum('dij,cdj->cdi', inv_iw, jnp.cross(r_j, n))
+    denom = (2 * inv_mass + m.dot(n, jnp.cross(ta_i, r_i))
+             + m.dot(n, jnp.cross(ta_j, r_j)))
+    rest = _restitution_rhs(rel_vel, C.CARCAR_COLLISION_RESTITUTION)
+    j_n = jnp.maximum((rest - rel_vel) / jnp.maximum(denom, 1e-12), 0.0)
+    j_n = jnp.where(overlap, j_n, 0.0)
+    imp = n * j_n[..., None]  # on car j (+n), car i gets -imp
+    # (friction between cars is tiny, mu=.09; skip tangential term for now)
+
+    dvel = (jnp.sum(imp, axis=0) - jnp.sum(imp, axis=1)) \
+        * inv_mass * C.BT_TO_UU
+    dang = (jnp.einsum('dij,dj->di', inv_iw,
+                       jnp.sum(jnp.cross(r_j, imp), axis=0))
+            + jnp.einsum('cij,cj->ci', inv_iw,
+                         jnp.sum(jnp.cross(r_i, -imp), axis=1)))
+
+    # --- bump / demo logic, evaluated both directions (i bumps j)
+    state_i_vel = cars.vel[:, None, :]
+    state_j_vel = cars.vel[None, :, :]
+    delta_pos = cars.pos[None, :, :] - cars.pos[:, None, :]  # i -> j
+    going_towards = m.dot(state_i_vel, delta_pos) > 0
+
+    vel_dir = m.normalize(state_i_vel)
+    dir_to_other = m.normalize(delta_pos)
+    speed_towards = m.dot(state_i_vel, dir_to_other)
+    other_away_speed = m.dot(state_j_vel, vel_dir)
+
+    ids = jnp.arange(1, num_cars + 1)
+    in_cooldown = (cars.car_contact_other_id[:, None] == ids[None, :]) & (
+        cars.car_contact_cooldown[:, None] > 0)
+
+    # localPoint on car i: contact point in i's local frame
+    local_pt = m.inv_rotate(cars.rot[:, None], contact_pt - cars.pos[:, None])
+    hit_with_bumper = local_pt[..., 0] > C.BUMP_MIN_FORWARD_DIST
+
+    bump = (overlap & going_towards & ~in_cooldown
+            & (speed_towards > other_away_speed) & hit_with_bumper)
+
+    if mut.demo_mode == "ON_CONTACT":
+        is_demo = bump
+    elif mut.demo_mode == "DISABLED":
+        is_demo = jnp.zeros_like(bump)
+    else:
+        is_demo = bump & cars.is_supersonic[:, None]
+    if not mut.enable_team_demos:
+        is_demo &= teams[:, None] != teams[None, :]
+
+    plain_bump = bump & ~is_demo
+    ground_hit = cars.is_on_ground[None, :]
+    base_scale = jnp.where(
+        ground_hit,
+        m.curve(C.BUMP_VEL_AMOUNT_GROUND_CURVE, speed_towards),
+        m.curve(C.BUMP_VEL_AMOUNT_AIR_CURVE, speed_towards))
+    hit_up_dir = jnp.where(ground_hit[..., None],
+                           cars.up[None, :, :],
+                           jnp.array([0.0, 0.0, 1.0]))
+    bump_impulse = (vel_dir * base_scale[..., None]
+                    + hit_up_dir * m.curve(C.BUMP_UPWARD_VEL_AMOUNT_CURVE,
+                                           speed_towards)[..., None]
+                    * mut.bump_force_scale)
+    cache_dv = jnp.sum(jnp.where(plain_bump[..., None], bump_impulse, 0.0),
+                       axis=0)  # sum over bumpers i for each bumped j
+
+    got_demoed = jnp.any(is_demo, axis=0)
+
+    # Contact cooldown bookkeeping for the bumper (car i)
+    bumped_any = jnp.any(bump, axis=1)
+    # id of (last) bumped car j for each i
+    bumped_id = jnp.max(jnp.where(bump, ids[None, :], 0), axis=1)
+    contact_updates = dict(
+        car_contact_other_id=jnp.where(bumped_any, bumped_id,
+                                       cars.car_contact_other_id),
+        car_contact_cooldown=jnp.where(bumped_any, mut.bump_cooldown_time,
+                                       cars.car_contact_cooldown),
+    )
+    return dvel, dang, cache_dv, got_demoed, bump, contact_updates

@@ -1,0 +1,481 @@
+"""Arena stepping: one physics tick and the multi-tick env step.
+
+Replicates the reference per-tick pipeline order exactly
+(reference: Arena::Step, Arena.cpp:716-812):
+
+  1. ball zero-velocity sleeping
+  2. per-car ``_PreTickUpdate`` (Car.cpp:58-131): demo/respawn, suspension
+     raycasts + stale-control friction impulses (btVehicleRL quirk), drive
+     update, air torque, jump/auto-flip/double-jump-flip/auto-roll state
+     machines, suspension + friction impulse application, boost
+  3. boost pad pre-tick (cooldowns)
+  4. world step: integrate forces into velocities, resolve contacts
+     (car-world, car-ball, ball-world, car-car), integrate transforms
+  5. per-car ``_PostTickUpdate`` + ``_FinishPhysicsTick``: supersonic
+     hysteresis, velocity-impulse caches, speed clamps
+  6. boost pad pickup + post-tick
+  7. goal detection
+
+The whole tick is pure: ``(PhysicsState, key) -> PhysicsState``; a
+``lax.scan`` runs ``tick_skip`` ticks per env step with the new actions
+applied ``action_delay`` ticks in (reference split-step semantics,
+EnvSet.cpp:113-156).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from reinforcement_learning_tpu import constants as C
+from reinforcement_learning_tpu import maths as m
+from reinforcement_learning_tpu.physics import arena_geom as geom
+from reinforcement_learning_tpu.physics import car as carmod
+from reinforcement_learning_tpu.physics import contacts
+from reinforcement_learning_tpu.physics.car import WheelControlsState
+from reinforcement_learning_tpu.physics.state import (
+    BOOST, HANDBRAKE, JUMP, PITCH, ROLL, STEER, THROTTLE, YAW, ArenaState,
+    BallState, CarConfig, CarsState, MutatorConfig, make_arena_state)
+
+
+@struct.dataclass
+class PhysicsState:
+    """ArenaState plus the cross-tick wheel drive state."""
+    arena: ArenaState
+    wheels: WheelControlsState
+
+    @property
+    def cars(self):
+        return self.arena.cars
+
+    @property
+    def ball(self):
+        return self.arena.ball
+
+
+@dataclasses.dataclass(frozen=True)
+class ArenaParams:
+    """Static (compile-time) arena configuration."""
+    num_cars: int
+    mutators: MutatorConfig = MutatorConfig()
+    car_config: CarConfig = CarConfig()
+    tick_rate: float = 120.0
+
+    @property
+    def dt(self) -> float:
+        return 1.0 / self.tick_rate
+
+
+def make_physics_state(params: ArenaParams) -> PhysicsState:
+    return PhysicsState(
+        arena=make_arena_state(params.num_cars, params.mutators),
+        wheels=WheelControlsState.make(params.num_cars))
+
+
+def clamp_controls(controls: jnp.ndarray) -> jnp.ndarray:
+    """CarControls::ClampFix (CarControls.h:26-32) + booleanize buttons."""
+    analog = jnp.clip(controls[..., :5], -1.0, 1.0)
+    buttons = (controls[..., 5:] > 0).astype(controls.dtype)
+    return jnp.concatenate([analog, buttons], axis=-1)
+
+
+def _respawn_cars(cars: CarsState, teams, respawn_mask, key,
+                  mut: MutatorConfig, num_cars: int) -> CarsState:
+    """Car::Respawn (Car.cpp:43-56): fresh default state at a random respawn
+    location, mirrored for orange."""
+    idx = jax.random.randint(key, (num_cars,), 0,
+                             C.CAR_RESPAWN_LOCATION_AMOUNT)
+    table = jnp.asarray(C.CAR_RESPAWN_LOCATIONS_SOCCAR)
+    spawn = table[idx]  # (C, 3): x, y, yaw
+    team_sign = jnp.where(teams == 0, 1.0, -1.0)
+    pos = jnp.stack([spawn[:, 0], spawn[:, 1] * team_sign,
+                     jnp.full((num_cars,), C.CAR_RESPAWN_Z)], axis=-1)
+    yaw = spawn[:, 2] + jnp.where(teams == 0, 0.0, jnp.pi)
+    rot = m.euler_to_rotmat(yaw)
+
+    mask = respawn_mask
+    mk = mask[:, None]
+    mkk = mask[:, None, None]
+
+    def w(field, new):
+        return jnp.where(jnp.reshape(mask, mask.shape + (1,) * (field.ndim - 1)),
+                         new, field)
+
+    return cars.replace(
+        pos=jnp.where(mk, pos, cars.pos),
+        rot=jnp.where(mkk, rot, cars.rot),
+        vel=w(cars.vel, 0.0), ang_vel=w(cars.ang_vel, 0.0),
+        is_on_ground=w(cars.is_on_ground, True),
+        wheels_with_contact=w(cars.wheels_with_contact, False),
+        has_jumped=w(cars.has_jumped, False),
+        has_double_jumped=w(cars.has_double_jumped, False),
+        has_flipped=w(cars.has_flipped, False),
+        flip_rel_torque=w(cars.flip_rel_torque, 0.0),
+        jump_time=w(cars.jump_time, 0.0), flip_time=w(cars.flip_time, 0.0),
+        is_flipping=w(cars.is_flipping, False),
+        is_jumping=w(cars.is_jumping, False),
+        air_time=w(cars.air_time, 0.0),
+        air_time_since_jump=w(cars.air_time_since_jump, 0.0),
+        boost=w(cars.boost, mut.car_spawn_boost_amount),
+        time_spent_boosting=w(cars.time_spent_boosting, 0.0),
+        is_supersonic=w(cars.is_supersonic, False),
+        supersonic_time=w(cars.supersonic_time, 0.0),
+        handbrake_val=w(cars.handbrake_val, 0.0),
+        is_auto_flipping=w(cars.is_auto_flipping, False),
+        auto_flip_timer=w(cars.auto_flip_timer, 0.0),
+        auto_flip_torque_scale=w(cars.auto_flip_torque_scale, 0.0),
+        has_world_contact=w(cars.has_world_contact, False),
+        world_contact_normal=w(cars.world_contact_normal, 0.0),
+        car_contact_other_id=w(cars.car_contact_other_id, 0),
+        car_contact_cooldown=w(cars.car_contact_cooldown, 0.0),
+        is_demoed=w(cars.is_demoed, False),
+        demo_respawn_timer=w(cars.demo_respawn_timer, 0.0),
+    )
+
+
+def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
+               params: ArenaParams) -> PhysicsState:
+    """One 1/120s physics tick for a single arena."""
+    mut = params.mutators
+    cfg = params.car_config
+    dt = params.dt
+    num_cars = params.num_cars
+
+    arena = phys.arena
+    cars = arena.cars
+    ball = arena.ball
+    wc = phys.wheels
+
+    half_extents = jnp.asarray(cfg.hitbox_size, jnp.float32) / 2.0
+    hitbox_offset = jnp.asarray(cfg.hitbox_offset, jnp.float32)
+    inv_i_local = carmod.box_inv_inertia_local(mut.car_mass, cfg.hitbox_size)
+
+    controls = clamp_controls(cars.controls)
+    cars = cars.replace(controls=controls)
+
+    # --- demo / respawn (Car.cpp:68-87)
+    demo_timer = jnp.where(cars.is_demoed,
+                           jnp.maximum(cars.demo_respawn_timer - dt, 0.0),
+                           cars.demo_respawn_timer)
+    respawn_now = cars.is_demoed & (demo_timer == 0.0)
+    cars = cars.replace(demo_respawn_timer=demo_timer)
+    key, krespawn = jax.random.split(key)
+    cars = _respawn_cars(cars, teams, respawn_now, krespawn, mut, num_cars)
+    alive = ~cars.is_demoed
+    alive3 = alive[:, None]
+
+    inv_iw = carmod.inv_inertia_world(cars.rot, inv_i_local)
+
+    # --- updateVehicleFirst: raycasts + stale friction impulses
+    rc = carmod.wheel_raycasts(cars, cfg, mut, dt, inv_iw)
+    rc = rc.replace(
+        is_in_contact=rc.is_in_contact & alive[:, None],
+        in_world_contact=rc.in_world_contact & alive[:, None])
+    wheel_impulses = carmod.calc_friction_impulses(cars, rc, wc, mut, dt,
+                                                   inv_iw)
+
+    num_contact = jnp.sum(rc.is_in_contact, axis=1)
+    is_on_ground = num_contact >= 3
+    cars = cars.replace(
+        wheels_with_contact=jnp.where(alive[:, None], rc.is_in_contact,
+                                      cars.wheels_with_contact),
+        is_on_ground=jnp.where(alive, is_on_ground, cars.is_on_ground))
+
+    jump_pressed = (controls[:, JUMP] > 0) & ~(cars.last_controls[:, JUMP] > 0)
+    fwd_speed = m.dot(cars.vel, cars.forward)
+
+    # --- _UpdateWheels
+    new_wc, hb_val, sticky_accel, real_throttle = carmod.update_wheels(
+        cars, rc, wc, controls, fwd_speed, dt)
+    cars = cars.replace(handbrake_val=jnp.where(alive, hb_val,
+                                                cars.handbrake_val))
+    # Preserve previous wheel-drive state for demoed cars
+    new_wc = jax.tree.map(
+        lambda new, old: jnp.where(
+            jnp.reshape(alive, alive.shape + (1,) * (new.ndim - 1)), new, old),
+        new_wc, wc)
+
+    # --- air torque / flipping clear (Car.cpp:111-115)
+    air_mask = (num_contact < 3) & alive
+    zero_wheels = (num_contact == 0) & alive
+    air_ang_accel, air_accel, is_flipping = carmod.update_air_torque(
+        cars, controls, air_mask, zero_wheels, dt)
+    is_flipping = jnp.where(alive, jnp.where(air_mask, is_flipping, False),
+                            cars.is_flipping)
+    cars = cars.replace(is_flipping=is_flipping)
+
+    # --- jump
+    jump_updates, jump_dv, jump_accel = carmod.update_jump(
+        cars, controls, jump_pressed, mut, dt)
+    jump_updates = {k: jnp.where(alive, v, getattr(cars, k))
+                    for k, v in jump_updates.items()}
+    vel = cars.vel + jnp.where(alive3, jump_dv, 0.0)
+    cars = cars.replace(vel=vel, **jump_updates)
+
+    # --- auto flip
+    af_updates, af_dv, af_dw = carmod.update_auto_flip(cars, controls,
+                                                       jump_pressed, dt)
+    af_updates = {k: jnp.where(alive, v, getattr(cars, k))
+                  for k, v in af_updates.items()}
+    cars = cars.replace(
+        vel=cars.vel + jnp.where(alive3, af_dv, 0.0),
+        ang_vel=cars.ang_vel + jnp.where(alive3, af_dw, 0.0),
+        **af_updates)
+
+    # --- double jump / flip
+    dj_updates, dj_dv, zdamp_maybe, zdamp_always = \
+        carmod.update_double_jump_or_flip(
+            cars, controls, jump_pressed, fwd_speed, cfg, mut, dt,
+            cars.is_jumping, cars.has_jumped, cars.jump_time,
+            cars.is_flipping)
+    dj_updates = {k: jnp.where(
+        jnp.reshape(alive, alive.shape + (1,) * (v.ndim - 1)),
+        v, getattr(cars, k)) for k, v in dj_updates.items()}
+    vel = cars.vel + jnp.where(alive3, dj_dv, 0.0)
+    # Flip z-damping (Car.cpp:749-755)
+    do_damp = (zdamp_always | (zdamp_maybe & (vel[:, 2] < 0))) & alive
+    damp_factor = (1.0 - C.FLIP_Z_DAMP_120) ** (dt * 120.0)
+    vel = vel.at[:, 2].multiply(jnp.where(do_damp, damp_factor, 1.0))
+    cars = cars.replace(vel=vel, **dj_updates)
+
+    # --- auto roll (Car.cpp:122-123)
+    ar_cond = (controls[:, THROTTLE] != 0) & (
+        ((num_contact > 0) & (num_contact < 4)) | cars.has_world_contact
+    ) & alive
+    ar_accel, ar_ang_accel = carmod.update_auto_roll(cars, rc, controls,
+                                                     num_contact)
+    ar_accel = jnp.where(ar_cond[:, None], ar_accel, 0.0)
+    ar_ang_accel = jnp.where(ar_cond[:, None], ar_ang_accel, 0.0)
+
+    # worldContact cleared after use (Car.cpp:125)
+    cars = cars.replace(
+        has_world_contact=jnp.where(alive, False, cars.has_world_contact))
+
+    # --- updateVehicleSecond: suspension + friction application
+    inv_iw = carmod.inv_inertia_world(cars.rot, inv_i_local)
+    vel, ang_vel = carmod.apply_suspension(cars, rc, cfg, mut, dt, inv_iw)
+    cars = cars.replace(vel=jnp.where(alive3, vel, cars.vel),
+                        ang_vel=jnp.where(alive3, ang_vel, cars.ang_vel))
+    vel, ang_vel = carmod.apply_friction_impulses(cars, rc, wheel_impulses,
+                                                  dt, mut, inv_iw)
+    cars = cars.replace(vel=jnp.where(alive3, vel, cars.vel),
+                        ang_vel=jnp.where(alive3, ang_vel, cars.ang_vel))
+
+    # --- boost
+    boost_updates, boost_accel = carmod.update_boost(cars, controls, mut, dt)
+    boost_updates = {k: jnp.where(alive, v, getattr(cars, k))
+                     for k, v in boost_updates.items()}
+    cars = cars.replace(**boost_updates)
+
+    # --- boost pad pre-tick (BoostPad.cpp:52-60)
+    pads = arena.pads
+    cooldown = jnp.maximum(pads.cooldown - dt, 0.0)
+    pad_active = cooldown == 0.0
+    pads = pads.replace(cooldown=cooldown, is_active=pad_active)
+
+    # =======================================================================
+    # World step (bullet stepSimulation)
+
+    gravity = jnp.array([0.0, 0.0, mut.gravity_z])
+
+    total_accel = (gravity[None, :] + sticky_accel + air_accel + jump_accel
+                   + ar_accel + boost_accel)
+    total_ang_accel = air_ang_accel + ar_ang_accel
+    vel = cars.vel + jnp.where(alive3, total_accel * dt, 0.0)
+    ang_vel = cars.ang_vel + jnp.where(alive3, total_ang_accel * dt, 0.0)
+    cars = cars.replace(vel=vel, ang_vel=ang_vel)
+
+    # Ball: sleeping + gravity + drag (Arena.cpp:721-727, Ball.cpp:95-98)
+    ball_awake = (m.norm(ball.vel) > 0) | (m.norm(ball.ang_vel) > 0)
+    ball_vel = jnp.where(ball_awake, ball.vel + gravity * dt, ball.vel)
+    drag = (1.0 - mut.ball_drag) ** dt
+    ball_vel = jnp.where(ball_awake, ball_vel * drag, ball_vel)
+    ball = ball.replace(vel=ball_vel)
+
+    # --- contacts
+    inv_iw = carmod.inv_inertia_world(cars.rot, inv_i_local)
+
+    # car-world
+    cw_dv, cw_dw, cw_push, cw_contact, cw_normal = contacts.resolve_car_world(
+        cars, half_extents, hitbox_offset, mut, inv_iw)
+    cars = cars.replace(
+        vel=cars.vel + jnp.where(alive3, cw_dv, 0.0),
+        ang_vel=cars.ang_vel + jnp.where(alive3, cw_dw, 0.0),
+        has_world_contact=jnp.where(alive, cw_contact | cars.has_world_contact,
+                                    cars.has_world_contact),
+        world_contact_normal=jnp.where((cw_contact & alive)[:, None],
+                                       cw_normal, cars.world_contact_normal))
+
+    # car-ball (+psyonix impulse cache)
+    cb_car_dv, cb_car_dw, cb_ball_dv, cb_ball_dw, ball_cache_dv, \
+        hit_updates, ball_touched = contacts.resolve_car_ball(
+            cars, ball, arena.tick_count, half_extents, hitbox_offset, mut,
+            inv_iw)
+    ball_touched = ball_touched & alive
+    hit_updates = {k: jnp.where(
+        jnp.reshape(alive, alive.shape + (1,) * (v.ndim - 1)),
+        v, getattr(cars, k)) for k, v in hit_updates.items()}
+    cars = cars.replace(
+        vel=cars.vel + jnp.where(alive3, cb_car_dv, 0.0),
+        ang_vel=cars.ang_vel + jnp.where(alive3, cb_car_dw, 0.0),
+        **hit_updates)
+    ball = ball.replace(vel=ball.vel + cb_ball_dv,
+                        ang_vel=ball.ang_vel + cb_ball_dw)
+
+    # ball-world (merged special contact)
+    bw_dv, bw_dw, bw_push, _ = contacts.resolve_ball_world(ball, mut)
+    ball = ball.replace(vel=ball.vel + bw_dv, ang_vel=ball.ang_vel + bw_dw)
+
+    # car-car (+bump/demo)
+    if num_cars > 1:
+        cc_dv, cc_dw, cc_cache_dv, got_demoed, bumped, cc_updates = \
+            contacts.car_car_interactions(cars, teams, half_extents,
+                                          hitbox_offset, mut, inv_iw)
+        cc_updates = {k: jnp.where(alive, v, getattr(cars, k))
+                      for k, v in cc_updates.items()}
+        cars = cars.replace(
+            vel=cars.vel + jnp.where(alive3, cc_dv, 0.0),
+            ang_vel=cars.ang_vel + jnp.where(alive3, cc_dw, 0.0),
+            **cc_updates)
+        # Demolish (Car.cpp:38-41)
+        cars = cars.replace(
+            is_demoed=cars.is_demoed | got_demoed,
+            demo_respawn_timer=jnp.where(got_demoed, mut.respawn_delay,
+                                         cars.demo_respawn_timer))
+        alive = ~cars.is_demoed
+        alive3 = alive[:, None]
+    else:
+        cc_cache_dv = jnp.zeros_like(cars.vel)
+        bumped = jnp.zeros((num_cars, num_cars), bool)
+        got_demoed = jnp.zeros((num_cars,), bool)
+
+    # --- integrate transforms
+    cars = cars.replace(
+        pos=cars.pos + jnp.where(alive3, cars.vel * dt + cw_push, 0.0),
+        rot=jnp.where(alive[:, None, None],
+                      m.integrate_rotation(cars.rot, cars.ang_vel, dt),
+                      cars.rot))
+    ball_awake = (m.norm(ball.vel) > 0) | (m.norm(ball.ang_vel) > 0)
+    ball = ball.replace(
+        pos=ball.pos + jnp.where(ball_awake, ball.vel * dt + bw_push, 0.0),
+        rot=jnp.where(ball_awake,
+                      m.integrate_rotation(ball.rot, ball.ang_vel, dt),
+                      ball.rot))
+
+    # =======================================================================
+    # Post-tick (Car.cpp:133-163) + finish (Car.cpp:165-193)
+
+    speed_sq = jnp.sum(cars.vel ** 2, axis=-1)
+    maintain = cars.is_supersonic & (
+        cars.supersonic_time < C.SUPERSONIC_MAINTAIN_MAX_TIME)
+    thresh = jnp.where(maintain, C.SUPERSONIC_MAINTAIN_MIN_SPEED,
+                       C.SUPERSONIC_START_SPEED)
+    is_ss = speed_sq >= thresh ** 2
+    ss_time = jnp.where(is_ss, cars.supersonic_time + dt, 0.0)
+    cooldown_cc = jnp.maximum(cars.car_contact_cooldown - dt, 0.0)
+    cars = cars.replace(
+        is_supersonic=jnp.where(alive, is_ss, cars.is_supersonic),
+        supersonic_time=jnp.where(alive, ss_time, cars.supersonic_time),
+        car_contact_cooldown=jnp.where(alive, cooldown_cc,
+                                       cars.car_contact_cooldown),
+        last_controls=jnp.where(alive3, controls, cars.last_controls))
+
+    # Finish: bump velocity cache + clamps
+    vel = cars.vel + jnp.where(alive3, cc_cache_dv, 0.0)
+    vel = m.clamp_norm(vel, C.CAR_MAX_SPEED)
+    ang_vel = m.clamp_norm(cars.ang_vel, C.CAR_MAX_ANG_SPEED)
+    cars = cars.replace(vel=jnp.where(alive3, vel, cars.vel),
+                        ang_vel=jnp.where(alive3, ang_vel, cars.ang_vel))
+
+    # Ball finish (Ball.cpp:113-137): psyonix cache + clamps
+    ball_vel = m.clamp_norm(ball.vel + ball_cache_dv, mut.ball_max_speed)
+    ball_ang = m.clamp_norm(ball.ang_vel, C.BALL_MAX_ANG_SPEED)
+    ball = ball.replace(vel=ball_vel, ang_vel=ball_ang)
+
+    # --- boost pad pickup (BoostPad.cpp:62-105)
+    pads, cars = _pads_check_and_pickup(pads, cars, alive, half_extents,
+                                        hitbox_offset, mut)
+
+    goal = geom.is_ball_scored(ball.pos, mut.ball_radius,
+                               mut.goal_base_threshold_y)
+
+    arena = arena.replace(
+        cars=cars, ball=ball, pads=pads,
+        tick_count=arena.tick_count + 1,
+        goal_scored=arena.goal_scored | goal)
+    return PhysicsState(arena=arena, wheels=new_wc)
+
+
+def _pads_check_and_pickup(pads, cars: CarsState, alive, half_extents,
+                           hitbox_offset, mut: MutatorConfig):
+    """Boost pad collision + pickup.
+
+    Simplification vs reference: the reference locks a pad to the previous
+    car via AABB hysteresis (BoostPad.cpp:62-86); here every overlapping car
+    is tested with the cylinder volume (the hysteresis only widens the
+    pickup box for a car already sitting on the pad).
+    """
+    locs = jnp.asarray(C.BOOST_PAD_LOCS_SOCCAR)   # (34, 3)
+    is_big = jnp.asarray(C.BOOST_PAD_IS_BIG)
+    cyl_rad = jnp.where(is_big, C.BoostPads.CYL_RAD_BIG,
+                        C.BoostPads.CYL_RAD_SMALL)
+
+    d2 = jnp.sum((cars.pos[:, None, :2] - locs[None, :, :2]) ** 2, axis=-1)
+    dz = jnp.abs(cars.pos[:, None, 2] - locs[None, :, 2])
+    colliding = (d2 < (cyl_rad ** 2)[None, :]) & (
+        dz < C.BoostPads.CYL_HEIGHT) & alive[:, None]  # (C, 34)
+
+    pickup = colliding & pads.is_active[None, :]
+    # One car per pad: lowest index wins (reference processes cars in order)
+    first = jnp.argmax(pickup, axis=0)  # (34,)
+    any_pickup = jnp.any(pickup, axis=0)
+    # (C, 34): 1 where car c picks up pad p
+    winner_cp = (jax.nn.one_hot(first, cars.pos.shape[0],
+                                dtype=jnp.float32).T
+                 * any_pickup[None, :].astype(jnp.float32))
+    amount = jnp.where(is_big, C.BoostPads.BOOST_AMOUNT_BIG,
+                       C.BoostPads.BOOST_AMOUNT_SMALL)
+    gained = jnp.sum(winner_cp * amount[None, :], axis=1)
+    new_boost = jnp.minimum(cars.boost + gained, C.BOOST_MAX)
+
+    cooldown_new = jnp.where(is_big, mut.boost_pad_cooldown_big,
+                             mut.boost_pad_cooldown_small)
+    pads = pads.replace(
+        is_active=pads.is_active & ~any_pickup,
+        cooldown=jnp.where(any_pickup, cooldown_new, pads.cooldown))
+    cars = cars.replace(boost=new_boost)
+    return pads, cars
+
+
+# ---------------------------------------------------------------------------
+# Multi-tick env step with action delay
+
+def arena_step(phys: PhysicsState, new_controls: jnp.ndarray,
+               teams: jnp.ndarray, key, params: ArenaParams,
+               tick_skip: int = 8, action_delay: int = 7) -> PhysicsState:
+    """Step ``tick_skip`` ticks; the first ``action_delay`` ticks run with
+    the controls already in the state (the previous action), then
+    ``new_controls`` applies (reference: EnvSet::StepFirstHalf /
+    StepSecondHalf, EnvSet.cpp:113-156)."""
+
+    def tick_fn(carry, i):
+        st, k = carry
+        k, sub = jax.random.split(k)
+        cars = st.arena.cars
+        swap = i == action_delay
+        ctrl = jnp.where(swap, new_controls, cars.controls)
+        st = st.replace(arena=st.arena.replace(
+            cars=cars.replace(controls=ctrl)))
+        st = arena_tick(st, teams, sub, params)
+        return (st, k), None
+
+    # Clear the per-step goal latch (EnvSet GameState::ResetBeforeStep)
+    phys = phys.replace(arena=phys.arena.replace(
+        goal_scored=jnp.zeros_like(phys.arena.goal_scored)))
+    (phys, _), _ = jax.lax.scan(tick_fn, (phys, key),
+                                jnp.arange(tick_skip))
+    return phys
