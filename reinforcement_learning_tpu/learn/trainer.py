@@ -1,0 +1,218 @@
+"""Trainer: the fused on-device collect -> GAE -> PPO loop.
+
+The reference orchestrates four hot loops across CPU/GPU with marshaling
+(reference: Learner.cpp:482-1056).  Here one jitted ``train_iteration``
+does everything on-device:
+
+  rollout: lax.scan of (policy sample -> env step -> store)   [collect]
+  value pass: batched critic on stored + final obs            [consume]
+  GAE reverse scan with truncation bootstrap                  [consume]
+  PPO epochs x shuffled batches                               [learn]
+
+The experience "buffer" is just the stacked scan output — device-resident,
+fixed (T, N, P) layout (no ragged per-player trajectory lists: terminals
+travel as masks and the GAE scan reproduces the reference's
+concatenated-episode semantics, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from reinforcement_learning_tpu.envs.env import RocketLeagueEnv
+from reinforcement_learning_tpu.learn import gae as gaemod
+from reinforcement_learning_tpu.learn import welford
+from reinforcement_learning_tpu.learn.ppo import (PPOConfig, PPOLearner,
+                                                  PPOTrainState)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Mirror of LearnerConfig (reference: LearnerConfig.h:14-71), minus
+    fields that don't apply on TPU (device selection, render pacing)."""
+    ts_per_itr: int = 50_000
+    standardize_returns: bool = True
+    standardize_obs: bool = False
+    min_obs_std: float = 0.1
+    max_obs_mean_range: float = 3.0
+    checkpoint_folder: str = ""
+    ts_per_save: int = 10_000_000
+    checkpoints_to_keep: int = 8
+    random_seed: int = 123
+
+
+@struct.dataclass
+class TrainState:
+    """Everything that changes across iterations, in one pytree."""
+    ppo: PPOTrainState
+    env_states: Any
+    obs: jnp.ndarray           # (N, P, D) current obs
+    masks: jnp.ndarray         # (N, P, A)
+    return_stat: welford.WelfordState
+    obs_stat: welford.WelfordState
+    total_timesteps: jnp.ndarray  # () int64-ish float
+    iterations: jnp.ndarray       # () int32
+    key: jnp.ndarray
+
+
+class Trainer:
+    def __init__(self, env: RocketLeagueEnv, ppo_config: PPOConfig,
+                 config: TrainerConfig = TrainerConfig()):
+        self.env = env
+        self.config = config
+        self.ppo_config = ppo_config
+        self.learner = PPOLearner(env.obs_size, env.num_actions, ppo_config)
+
+        n_players = env.config.num_envs * env.config.cars_per_arena
+        # env steps per iteration so that collected player-steps >= target
+        self.steps_per_itr = max(config.ts_per_itr // n_players, 1)
+        self.players_per_step = n_players
+
+        # NOTE: no buffer donation — EnvState.prev_arena aliases phys.arena
+        # right after a reset, and XLA rejects donating the same buffer
+        # twice.
+        self._train_iteration = jax.jit(self._train_iteration_impl)
+
+    # ------------------------------------------------------------------
+    def init(self, key=None) -> TrainState:
+        key = key if key is not None else jax.random.PRNGKey(
+            self.config.random_seed)
+        kppo, kenv, knext = jax.random.split(key, 3)
+        ppo_state = self.learner.init(kppo)
+        env_states, obs, masks = self.env.reset(kenv)
+        return TrainState(
+            ppo=ppo_state, env_states=env_states, obs=obs, masks=masks,
+            return_stat=welford.WelfordState.make(()),
+            obs_stat=welford.WelfordState.make((self.env.obs_size,)),
+            total_timesteps=jnp.zeros((), jnp.int64)
+            if jax.config.jax_enable_x64 else jnp.zeros((), jnp.int32),
+            iterations=jnp.zeros((), jnp.int32),
+            key=knext)
+
+    # ------------------------------------------------------------------
+    def _train_iteration_impl(self, state: TrainState):
+        cfg = self.config
+        learner = self.learner
+        T = self.steps_per_itr
+        N, P = state.obs.shape[0], state.obs.shape[1]
+
+        key, kroll, kupdate = jax.random.split(state.key, 3)
+
+        # --- collect
+        params = state.ppo.params
+        obs_stat = state.obs_stat
+
+        def maybe_std(o):
+            if cfg.standardize_obs:
+                return welford.standardize_obs(obs_stat, o, cfg.min_obs_std,
+                                               cfg.max_obs_mean_range)
+            return o
+
+        def step_fn(carry, _):
+            env_states, obs, masks, key = carry
+            key, ksample = jax.random.split(key)
+            obs_in = maybe_std(obs)
+            flat_obs = obs_in.reshape(-1, obs.shape[-1])
+            flat_masks = masks.reshape(-1, masks.shape[-1])
+            actions, logp = learner.sample_actions(params, flat_obs,
+                                                   flat_masks, ksample)
+            act_grid = actions.reshape(obs.shape[:-1])
+            env_states2, out = self.env.step(env_states, act_grid)
+            data = dict(
+                obs=obs_in, mask=masks, action=act_grid,
+                old_logp=logp.reshape(obs.shape[:-1]),
+                reward=out.reward,
+                terminal=out.terminal_type,
+                final_obs=maybe_std(out.final_obs),
+                goal=out.goal_scored,
+                touch=out.ball_touched,
+            )
+            return (env_states2, out.obs, out.action_mask, key), data
+
+        (env_states, obs, masks, _), traj = jax.lax.scan(
+            step_fn, (state.env_states, state.obs, state.masks, kroll),
+            None, length=T)
+
+        # --- values (batched critic pass; reference Learner.cpp:927-944)
+        flat = lambda x: x.reshape((T * N * P,) + x.shape[3:])
+        v_obs = learner.values(params, flat(traj["obs"]), half=False)
+        v_final = learner.values(params, flat(traj["final_obs"]), half=False)
+
+        # --- GAE over (T, N*P): broadcast per-arena terminal to players
+        terminal_tb = jnp.repeat(traj["terminal"], P, axis=-1).reshape(T,
+                                                                       N * P)
+        rewards_tb = traj["reward"].reshape(T, N * P)
+        v_tb = v_obs.reshape(T, N * P)
+        vf_tb = v_final.reshape(T, N * P)
+
+        return_std = jnp.where(cfg.standardize_returns,
+                               state.return_stat.std, 1.0)
+        advs, target_values, returns, clip_portion = gaemod.compute_gae(
+            rewards_tb, terminal_tb, v_tb, vf_tb,
+            gamma=self.ppo_config.gae_gamma, lam=self.ppo_config.gae_lambda,
+            return_std=return_std,
+            reward_clip_range=self.ppo_config.reward_clip_range)
+
+        return_stat = welford.update_batch(state.return_stat,
+                                           returns.reshape(-1))
+        obs_stat = state.obs_stat
+        if cfg.standardize_obs:
+            obs_stat = welford.update_batch(
+                obs_stat, traj["obs"].reshape(-1, traj["obs"].shape[-1]))
+
+        # --- PPO update
+        data = dict(
+            obs=flat(traj["obs"]),
+            mask=flat(traj["mask"]),
+            action=flat(traj["action"]),
+            old_logp=flat(traj["old_logp"]),
+            advantage=advs.reshape(-1),
+            target_value=target_values.reshape(-1),
+        )
+        ppo_state, ppo_metrics = learner.update(state.ppo, data, kupdate)
+
+        steps_collected = T * N * P
+        metrics = dict(ppo_metrics)
+        metrics["reward_mean"] = jnp.mean(traj["reward"])
+        metrics["goal_rate"] = jnp.mean(traj["goal"].astype(jnp.float32))
+        metrics["touch_rate"] = jnp.mean(traj["touch"].astype(jnp.float32))
+        metrics["episode_terminals"] = jnp.sum(
+            (traj["terminal"] > 0).astype(jnp.float32))
+        metrics["return_std"] = return_stat.std
+        metrics["reward_clip_portion"] = clip_portion
+        metrics["value_mean"] = jnp.mean(v_obs)
+
+        new_state = TrainState(
+            ppo=ppo_state, env_states=env_states, obs=obs, masks=masks,
+            return_stat=return_stat, obs_stat=obs_stat,
+            total_timesteps=state.total_timesteps + steps_collected,
+            iterations=state.iterations + 1,
+            key=key)
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    def train_iteration(self, state: TrainState):
+        return self._train_iteration(state)
+
+    def train(self, state: TrainState, num_iterations: int,
+              log_fn=None) -> TrainState:
+        for _ in range(num_iterations):
+            t0 = time.perf_counter()
+            state, metrics = self.train_iteration(state)
+            jax.block_until_ready(metrics["reward_mean"])
+            dt = time.perf_counter() - t0
+            if log_fn is not None:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["steps_per_second"] = (
+                    self.steps_per_itr * self.players_per_step / dt)
+                m["iteration_time"] = dt
+                log_fn(int(state.iterations), m)
+        return state

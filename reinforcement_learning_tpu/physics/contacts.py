@@ -311,7 +311,8 @@ def car_car_interactions(cars: CarsState, teams, half_extents, hitbox_offset,
     """All-pairs car-car contact + bump/demo logic (Arena.cpp:336-418).
 
     Returns (dvel (C,3), dang (C,3), cache_dv (C,3), got_demoed (C,),
-    bumped_by (C,C) bool [i bumped j], contact_updates dict).
+    bumped (C,C) bool [i bumped j], is_demo (C,C) bool [i demoed j],
+    contact_updates dict).
     """
     num_cars = cars.pos.shape[0]
     he = jnp.asarray(half_extents)
@@ -421,4 +422,4 @@ def car_car_interactions(cars: CarsState, teams, half_extents, hitbox_offset,
         car_contact_cooldown=jnp.where(bumped_any, mut.bump_cooldown_time,
                                        cars.car_contact_cooldown),
     )
-    return dvel, dang, cache_dv, got_demoed, bump, contact_updates
+    return dvel, dang, cache_dv, got_demoed, bump, is_demo, contact_updates

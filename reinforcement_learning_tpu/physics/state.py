@@ -127,6 +127,13 @@ class ArenaState:
     tick_count: jnp.ndarray  # () int32
     # Set on the tick a goal is scored; y-sign of ball decides scoring team.
     goal_scored: jnp.ndarray  # () bool
+    # Per-step event latches (cleared at env-step start, reference:
+    # GameState::ResetBeforeStep + arena callbacks EnvSet.cpp:31-42):
+    # bump/demo only recorded against the opposing team.
+    step_bump: jnp.ndarray    # (C,) bool — this car bumped an opponent
+    step_bumped: jnp.ndarray  # (C,) bool — this car was bumped
+    step_demo: jnp.ndarray    # (C,) bool — this car demoed an opponent
+    step_demoed: jnp.ndarray  # (C,) bool — this car was demolished
 
 
 @dataclasses.dataclass(frozen=True)
@@ -268,4 +275,8 @@ def make_arena_state(num_cars: int,
         pads=make_pads_state(),
         tick_count=jnp.zeros((), jnp.int32),
         goal_scored=jnp.zeros((), bool),
+        step_bump=jnp.zeros((num_cars,), bool),
+        step_bumped=jnp.zeros((num_cars,), bool),
+        step_demo=jnp.zeros((num_cars,), bool),
+        step_demoed=jnp.zeros((num_cars,), bool),
     )

@@ -332,9 +332,9 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
 
     # car-car (+bump/demo)
     if num_cars > 1:
-        cc_dv, cc_dw, cc_cache_dv, got_demoed, bumped, cc_updates = \
-            contacts.car_car_interactions(cars, teams, half_extents,
-                                          hitbox_offset, mut, inv_iw)
+        cc_dv, cc_dw, cc_cache_dv, got_demoed, bumped, demo_mat, \
+            cc_updates = contacts.car_car_interactions(
+                cars, teams, half_extents, hitbox_offset, mut, inv_iw)
         cc_updates = {k: jnp.where(alive, v, getattr(cars, k))
                       for k, v in cc_updates.items()}
         cars = cars.replace(
@@ -351,6 +351,7 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     else:
         cc_cache_dv = jnp.zeros_like(cars.vel)
         bumped = jnp.zeros((num_cars, num_cars), bool)
+        demo_mat = jnp.zeros((num_cars, num_cars), bool)
         got_demoed = jnp.zeros((num_cars,), bool)
 
     # --- integrate transforms
@@ -403,10 +404,18 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     goal = geom.is_ball_scored(ball.pos, mut.ball_radius,
                                mut.goal_base_threshold_y)
 
+    # Event latches: bump/demo vs the opposing team only (EnvSet.cpp:31-42)
+    opp = teams[:, None] != teams[None, :]
+    bump_opp = bumped & opp  # (C, C): i bumped j
+    demo_opp = demo_mat & opp
     arena = arena.replace(
         cars=cars, ball=ball, pads=pads,
         tick_count=arena.tick_count + 1,
-        goal_scored=arena.goal_scored | goal)
+        goal_scored=arena.goal_scored | goal,
+        step_bump=arena.step_bump | jnp.any(bump_opp, axis=1),
+        step_bumped=arena.step_bumped | jnp.any(bump_opp, axis=0),
+        step_demo=arena.step_demo | jnp.any(demo_opp, axis=1),
+        step_demoed=arena.step_demoed | jnp.any(demo_opp, axis=0))
     return PhysicsState(arena=arena, wheels=new_wc)
 
 
@@ -473,9 +482,13 @@ def arena_step(phys: PhysicsState, new_controls: jnp.ndarray,
         st = arena_tick(st, teams, sub, params)
         return (st, k), None
 
-    # Clear the per-step goal latch (EnvSet GameState::ResetBeforeStep)
+    # Clear the per-step latches (EnvSet GameState::ResetBeforeStep)
     phys = phys.replace(arena=phys.arena.replace(
-        goal_scored=jnp.zeros_like(phys.arena.goal_scored)))
+        goal_scored=jnp.zeros_like(phys.arena.goal_scored),
+        step_bump=jnp.zeros_like(phys.arena.step_bump),
+        step_bumped=jnp.zeros_like(phys.arena.step_bumped),
+        step_demo=jnp.zeros_like(phys.arena.step_demo),
+        step_demoed=jnp.zeros_like(phys.arena.step_demoed)))
     (phys, _), _ = jax.lax.scan(tick_fn, (phys, key),
                                 jnp.arange(tick_skip))
     return phys

@@ -1,10 +1,19 @@
-"""Test configuration: force an 8-device virtual CPU mesh so sharding tests
-run without TPU hardware (BASELINE config #4 logic on a fake mesh)."""
+"""Test configuration: force an 8-device virtual CPU mesh so tests compile
+fast and sharding tests run without TPU hardware (BASELINE config #4 logic
+on a fake mesh).
+
+The container's sitecustomize registers the axon TPU backend and forces
+``jax_platforms="axon,cpu"``; overriding via env var is not enough, so we
+update the config after import.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
