@@ -1,0 +1,81 @@
+"""End-to-end training throughput benchmark.
+
+Mirrors the reference's logged run configuration (BASELINE.md: 512 arenas
+x 2v2 = 2048 players, tickSkip 8 / actionDelay 7, AdvancedObs 167,
+DefaultAction 90, shared 384x2 + policy 384x3 + critic 384x3 ≈ 1.14M
+params, ~100k timesteps/iteration, minibatch 50k, 2 epochs) and measures
+overall env-steps/s of the fused collect+GAE+learn iteration on the local
+accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 100,677 steps/s overall steady state (reference run_out.log,
+iter 690).
+"""
+
+import json
+import sys
+import time
+
+BASELINE_STEPS_PER_SEC = 100_677.8
+
+
+def main():
+    import jax
+
+    from reinforcement_learning_tpu.envs.env import EnvConfig, RocketLeagueEnv
+    from reinforcement_learning_tpu.learn.ppo import PPOConfig
+    from reinforcement_learning_tpu.learn.trainer import (Trainer,
+                                                          TrainerConfig)
+
+    num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    env_cfg = EnvConfig(num_envs=num_envs, team_size=2)
+    env = RocketLeagueEnv(env_cfg)
+    ppo_cfg = PPOConfig(
+        policy_layers=(384, 384, 384),
+        critic_layers=(384, 384, 384),
+        shared_head_layers=(384, 384),
+        batch_size=50_000,
+        epochs=2,
+        half_precision=True,
+    )
+    n_players = num_envs * env_cfg.cars_per_arena
+    trainer = Trainer(env, ppo_cfg, TrainerConfig(ts_per_itr=100_000))
+
+    counts = trainer.learner.param_counts()
+    print(f"# devices={jax.devices()} players={n_players} "
+          f"steps/itr={trainer.steps_per_itr} params={counts}",
+          file=sys.stderr)
+
+    state = trainer.init(jax.random.PRNGKey(0))
+
+    # Warmup (compile)
+    t0 = time.perf_counter()
+    state, metrics = trainer.train_iteration(state)
+    jax.block_until_ready((state, metrics))
+    print(f"# warmup (compile+run): {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, metrics = trainer.train_iteration(state)
+        jax.block_until_ready((state, metrics))
+        times.append(time.perf_counter() - t0)
+
+    steps_per_itr = trainer.steps_per_itr * n_players
+    best = steps_per_itr / min(times)
+    print(f"# iter times: {[round(t, 3) for t in times]} "
+          f"steps/itr={steps_per_itr}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "env-steps/s (2v2 soccar, full PPO loop, 1 chip)",
+        "value": round(best, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(best / BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -251,8 +251,11 @@ class PPOLearner:
         """
         cfg = self.config
         total = data["obs"].shape[0]
-        batch_size = min(cfg.batch_size, total)
-        num_batches = max(total // batch_size, 1)
+        # Even-split batching: no experience is dropped to batch-size
+        # rounding, the same goal as the reference's overbatching
+        # (ExperienceBuffer.h:41-116, PPOLearnerConfig.h overbatching).
+        num_batches = max(total // max(cfg.batch_size, 1), 1)
+        batch_size = total // num_batches
         used = num_batches * batch_size
 
         def epoch_body(carry, epoch_key):
