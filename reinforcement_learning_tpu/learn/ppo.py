@@ -197,6 +197,17 @@ class PPOLearner:
     def _loss(self, params: PPOParams, batch, guiding_params=None):
         cfg = self.config
         obs = batch["obs"]
+        # Optional per-sample weights: 0 excludes a row (used to drop
+        # old-version opponent steps from self-play batches, mirroring the
+        # reference's newPlayerIndices gather, Learner.cpp:733-778)
+        w = batch.get("weight")
+        if w is None:
+            wmean = jnp.mean
+        else:
+            wsum = jnp.maximum(jnp.sum(w), 1.0)
+
+            def wmean(x):
+                return jnp.sum(x * w) / wsum
         # Training forward passes run fp32 (reference trains fp32, infers
         # bf16 — PPOLearner.cpp:401 'false')
         feat = self._features(params, obs, half=False)
@@ -209,13 +220,13 @@ class PPOLearner:
         logp = jnp.log(jnp.take_along_axis(
             probs, batch["action"][..., None], axis=-1))[..., 0]
 
-        entropy = jnp.mean(self._entropy(probs, batch["mask"]))
+        entropy = wmean(self._entropy(probs, batch["mask"]))
 
         log_ratio = logp - batch["old_logp"]
         ratio = jnp.exp(log_ratio)
         clipped = jnp.clip(ratio, 1.0 - cfg.clip_range, 1.0 + cfg.clip_range)
         adv = batch["advantage"]
-        policy_loss = -jnp.mean(jnp.minimum(ratio * adv, clipped * adv))
+        policy_loss = -wmean(jnp.minimum(ratio * adv, clipped * adv))
 
         ppo_loss = policy_loss - entropy * cfg.entropy_scale
 
@@ -223,21 +234,22 @@ class PPOLearner:
         if guiding_params is not None and cfg.guiding_strength > 0:
             gprobs = jax.lax.stop_gradient(self.policy_probs(
                 guiding_params, obs, batch["mask"]))
-            guiding_loss = jnp.mean(jnp.abs(gprobs - probs))
+            guiding_loss = wmean(jnp.mean(jnp.abs(gprobs - probs),
+                                         axis=-1))
             ppo_loss = ppo_loss + guiding_loss * cfg.guiding_strength
 
         vals = mlp.apply_mlp(params.critic, self.critic_cfg, feat,
                              False)[..., 0]
-        critic_loss = jnp.mean((vals - batch["target_value"]) ** 2)
+        critic_loss = wmean((vals - batch["target_value"]) ** 2)
 
         total = ppo_loss + critic_loss
 
-        kl = jnp.mean(jnp.exp(log_ratio) - 1.0 - log_ratio)
-        clip_frac = jnp.mean(
+        kl = wmean(jnp.exp(log_ratio) - 1.0 - log_ratio)
+        clip_frac = wmean(
             (jnp.abs(ratio - 1.0) > cfg.clip_range).astype(jnp.float32))
         aux = dict(entropy=entropy, policy_loss=policy_loss,
                    critic_loss=critic_loss, kl=kl, clip_fraction=clip_frac,
-                   ratio=jnp.mean(ratio), guiding_loss=guiding_loss)
+                   ratio=wmean(ratio), guiding_loss=guiding_loss)
         return total, aux
 
     def update(self, state: PPOTrainState, data: dict, key,

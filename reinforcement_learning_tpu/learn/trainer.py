@@ -29,6 +29,7 @@ from flax import struct
 
 from reinforcement_learning_tpu.envs.env import RocketLeagueEnv
 from reinforcement_learning_tpu.learn import gae as gaemod
+from reinforcement_learning_tpu.learn import selfplay as sp
 from reinforcement_learning_tpu.learn import welford
 from reinforcement_learning_tpu.learn.ppo import (PPOConfig, PPOLearner,
                                                   PPOTrainState)
@@ -65,7 +66,8 @@ class TrainState:
 
 class Trainer:
     def __init__(self, env: RocketLeagueEnv, ppo_config: PPOConfig,
-                 config: TrainerConfig = TrainerConfig()):
+                 config: TrainerConfig = TrainerConfig(),
+                 selfplay: "sp.SelfPlayConfig | None" = None):
         self.env = env
         self.config = config
         self.ppo_config = ppo_config
@@ -76,10 +78,22 @@ class Trainer:
         self.steps_per_itr = max(config.ts_per_itr // n_players, 1)
         self.players_per_step = n_players
 
+        # Self-play services (reference: PolicyVersionManager + opponent
+        # mixing, Learner.cpp:587-625)
+        self.selfplay = selfplay
+        self.bank: "sp.VersionBank | None" = None
+        self.skill_tracker = None
+        self._host_rng = np.random.RandomState(config.random_seed)
+        if selfplay is not None and selfplay.skill.enabled:
+            self.skill_tracker = sp.SkillTracker(
+                self.learner, env.config.team_size, selfplay.skill,
+                env.config.tick_skip, env.config.action_delay)
+
         # NOTE: no buffer donation — EnvState.prev_arena aliases phys.arena
         # right after a reset, and XLA rejects donating the same buffer
         # twice.
-        self._train_iteration = jax.jit(self._train_iteration_impl)
+        self._train_iteration = jax.jit(self._train_iteration_impl,
+                                        static_argnames=("use_old",))
 
     # ------------------------------------------------------------------
     def init(self, key=None) -> TrainState:
@@ -98,7 +112,8 @@ class Trainer:
             key=knext)
 
     # ------------------------------------------------------------------
-    def _train_iteration_impl(self, state: TrainState):
+    def _train_iteration_impl(self, state: TrainState, opp_policy=None,
+                              opp_head=None, old_team=0, use_old=False):
         cfg = self.config
         learner = self.learner
         T = self.steps_per_itr
@@ -108,6 +123,12 @@ class Trainer:
 
         # --- collect
         params = state.ppo.params
+        if use_old:
+            opp_params = params.replace(policy=opp_policy,
+                                        shared_head=opp_head)
+            is_old_player = (self.env.teams == old_team)  # (P,)
+        else:
+            is_old_player = jnp.zeros((P,), bool)
         obs_stat = state.obs_stat
 
         def maybe_std(o):
@@ -118,13 +139,19 @@ class Trainer:
 
         def step_fn(carry, _):
             env_states, obs, masks, key = carry
-            key, ksample = jax.random.split(key)
+            key, ksample, kold = jax.random.split(key, 3)
             obs_in = maybe_std(obs)
             flat_obs = obs_in.reshape(-1, obs.shape[-1])
             flat_masks = masks.reshape(-1, masks.shape[-1])
             actions, logp = learner.sample_actions(params, flat_obs,
                                                    flat_masks, ksample)
             act_grid = actions.reshape(obs.shape[:-1])
+            if use_old:
+                old_actions, _ = learner.sample_actions(
+                    opp_params, flat_obs, flat_masks, kold)
+                act_grid = jnp.where(is_old_player[None, :],
+                                     old_actions.reshape(obs.shape[:-1]),
+                                     act_grid)
             env_states2, out = self.env.step(env_states, act_grid)
             data = dict(
                 obs=obs_in, mask=masks, action=act_grid,
@@ -177,6 +204,11 @@ class Trainer:
             advantage=advs.reshape(-1),
             target_value=target_values.reshape(-1),
         )
+        if use_old:
+            # Exclude old-version opponent rows from training
+            w = jnp.broadcast_to((~is_old_player).astype(jnp.float32)
+                                 [None, None, :], (T, N, P))
+            data["weight"] = w.reshape(-1)
         ppo_state, ppo_metrics = learner.update(state.ppo, data, kupdate)
 
         steps_collected = T * N * P
@@ -200,7 +232,54 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_iteration(self, state: TrainState):
-        return self._train_iteration(state)
+        """One iteration, with the self-play host logic around the jitted
+        core (reference: Learner.cpp:587-625 + versionMgr->OnIteration)."""
+        spc = self.selfplay
+        self.last_selfplay_metrics = {}
+        extra = self.last_selfplay_metrics
+        if spc is None:
+            return self._train_iteration(state)
+
+        if self.bank is None:
+            self.bank = sp.VersionBank.make(
+                state.ppo.params, spc.max_versions,
+                spc.skill.initial_rating)
+
+        # Snapshot a version on the ts_per_version boundary (OnIteration)
+        ts = int(jax.device_get(state.total_timesteps))
+        if spc.save_versions:
+            count = int(jax.device_get(self.bank.count))
+            prev_ts = ts - self.steps_per_itr * self.players_per_step
+            if count == 0 or (ts // spc.ts_per_version
+                              > max(prev_ts, 0) // spc.ts_per_version):
+                self.bank = sp.add_version(self.bank, state.ppo.params,
+                                           jnp.int32(min(ts, 2**31 - 1)))
+
+        # Opponent mixing
+        count = int(jax.device_get(self.bank.count))
+        use_old = (spc.train_against_old and count > 0
+                   and self._host_rng.rand() < spc.train_against_old_chance)
+        if use_old:
+            idx = int(self._host_rng.randint(0, count))
+            old_team = int(self._host_rng.randint(0, 2))
+            opp_policy, opp_head = sp.get_version(self.bank, idx)
+            result = self._train_iteration(state, opp_policy, opp_head,
+                                           old_team, use_old=True)
+            extra["trained_against_old"] = 1.0
+        else:
+            result = self._train_iteration(state)
+
+        # Skill matches on the update interval
+        if self.skill_tracker is not None:
+            self.skill_tracker.iterations_since_ran += 1
+            if (self.skill_tracker.iterations_since_ran
+                    >= spc.skill.update_interval and count > 0):
+                self.skill_tracker.iterations_since_ran = 0
+                new_state, _ = result
+                self.bank, rating, info = self.skill_tracker.run_matches(
+                    new_state.ppo.params, self.bank, self._host_rng)
+                extra.update({k: float(v) for k, v in info.items()})
+        return result
 
     def train(self, state: TrainState, num_iterations: int,
               log_fn=None) -> TrainState:
@@ -211,6 +290,7 @@ class Trainer:
             dt = time.perf_counter() - t0
             if log_fn is not None:
                 m = {k: float(v) for k, v in metrics.items()}
+                m.update(getattr(self, "last_selfplay_metrics", {}))
                 m["steps_per_second"] = (
                     self.steps_per_itr * self.players_per_step / dt)
                 m["iteration_time"] = dt
