@@ -159,3 +159,120 @@ class AdvancedObs:
 
         return jnp.concatenate([ball_part, prev_actions, pad_vals, blocks],
                                axis=-1)
+
+
+class DefaultObs:
+    """Reference DefaultObs (DefaultObs.cpp:4-54): ball(9) + prevAction(8)
+    + pads(34, binary) + 19 floats per player (pos, forward, up, vel,
+    angvel, boost, onGround, hasFlip, isDemoed), self then teammates then
+    opponents."""
+
+    PLAYER_SIZE = 19
+
+    def __init__(self, num_players: int, teams: np.ndarray):
+        self.num_players = num_players
+        self.teams = np.asarray(teams)
+        self.obs_size = 9 + 8 + C.NUM_BOOST_PADS \
+            + self.PLAYER_SIZE * num_players
+        order = np.zeros((num_players, num_players), np.int64)
+        for i in range(num_players):
+            mates = [j for j in range(num_players)
+                     if j != i and self.teams[j] == self.teams[i]]
+            opps = [j for j in range(num_players)
+                    if self.teams[j] != self.teams[i]]
+            order[i] = [i] + mates + opps
+        self.order = order
+
+    def _player_block(self, cars, inv):
+        pos = _invert_vec(cars.pos, inv)
+        fwd = _invert_vec(cars.forward, inv)
+        up = _invert_vec(cars.up, inv)
+        vel = _invert_vec(cars.vel, inv)
+        ang = _invert_vec(cars.ang_vel, inv)
+        flags = jnp.stack([
+            cars.boost / 100.0,
+            cars.is_on_ground.astype(jnp.float32),
+            cars.has_flip_or_jump().astype(jnp.float32),
+            cars.is_demoed.astype(jnp.float32),
+        ], axis=-1)
+        return jnp.concatenate([pos * POS_COEF, fwd, up, vel * VEL_COEF,
+                                ang * ANG_VEL_COEF, flags], axis=-1)
+
+    def build(self, cars, ball, pads, prev_actions, teams):
+        P = self.num_players
+        inv = teams == 1
+        ball_pos = _invert_vec(jnp.broadcast_to(ball.pos, (P, 3)), inv)
+        ball_vel = _invert_vec(jnp.broadcast_to(ball.vel, (P, 3)), inv)
+        ball_ang = _invert_vec(jnp.broadcast_to(ball.ang_vel, (P, 3)), inv)
+        ball_part = jnp.concatenate([ball_pos * POS_COEF,
+                                     ball_vel * VEL_COEF,
+                                     ball_ang * ANG_VEL_COEF], axis=-1)
+        pad_act, _ = canonical_pads(pads.is_active, pads.cooldown, inv)
+        pad_vals = pad_act.astype(jnp.float32)
+
+        order = jnp.asarray(self.order)
+        gathered = jax.tree.map(lambda x: x[order.reshape(-1)], cars)
+        inv_rep = jnp.repeat(inv, P)
+        blocks = self._player_block(gathered, inv_rep)
+        blocks = blocks.reshape(P, P * self.PLAYER_SIZE)
+        return jnp.concatenate([ball_part, prev_actions, pad_vals, blocks],
+                               axis=-1)
+
+
+class DefaultObsPadded(DefaultObs):
+    """DefaultObsPadded (DefaultObsPadded.cpp:4-80): fixed-size obs padded
+    to ``max_players`` per team with zero blocks; teammate/opponent order
+    shuffled per build (needs a PRNG key via set_key / build(key=...))."""
+
+    def __init__(self, num_players: int, teams: np.ndarray,
+                 max_players: int):
+        super().__init__(num_players, teams)
+        self.max_players = max_players
+        self.obs_size = 9 + 8 + C.NUM_BOOST_PADS \
+            + self.PLAYER_SIZE * (2 * max_players)
+
+    def build(self, cars, ball, pads, prev_actions, teams, key=None):
+        P = self.num_players
+        M = self.max_players
+        inv = teams == 1
+        ball_pos = _invert_vec(jnp.broadcast_to(ball.pos, (P, 3)), inv)
+        ball_vel = _invert_vec(jnp.broadcast_to(ball.vel, (P, 3)), inv)
+        ball_ang = _invert_vec(jnp.broadcast_to(ball.ang_vel, (P, 3)), inv)
+        ball_part = jnp.concatenate([ball_pos * POS_COEF,
+                                     ball_vel * VEL_COEF,
+                                     ball_ang * ANG_VEL_COEF], axis=-1)
+        pad_act, _ = canonical_pads(pads.is_active, pads.cooldown, inv)
+        pad_vals = pad_act.astype(jnp.float32)
+
+        order = jnp.asarray(self.order)
+        gathered = jax.tree.map(lambda x: x[order.reshape(-1)], cars)
+        inv_rep = jnp.repeat(inv, P)
+        blocks = self._player_block(gathered, inv_rep).reshape(
+            P, P, self.PLAYER_SIZE)
+
+        self_block = blocks[:, 0]
+        n_mates = P // 2 - 1 if P > 1 else 0
+        mates = blocks[:, 1:1 + n_mates]
+        opps = blocks[:, 1 + n_mates:]
+
+        def pad_group(group, target):
+            pad_n = target - group.shape[1]
+            if pad_n > 0:
+                group = jnp.concatenate(
+                    [group, jnp.zeros((P, pad_n, self.PLAYER_SIZE))], axis=1)
+            return group
+
+        mates = pad_group(mates, M - 1)
+        opps = pad_group(opps, M)
+        if key is not None:
+            k1, k2 = jax.random.split(key)
+            mates = jax.random.permutation(k1, mates, axis=1,
+                                           independent=False)
+            opps = jax.random.permutation(k2, opps, axis=1,
+                                          independent=False)
+        out = jnp.concatenate([
+            self_block,
+            mates.reshape(P, -1),
+            opps.reshape(P, -1)], axis=-1)
+        return jnp.concatenate([ball_part, prev_actions, pad_vals, out],
+                               axis=-1)
