@@ -27,8 +27,8 @@ def main():
     from reinforcement_learning_tpu.learn.trainer import (Trainer,
                                                           TrainerConfig)
 
-    num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     env_cfg = EnvConfig(num_envs=num_envs, team_size=2)
     env = RocketLeagueEnv(env_cfg)
@@ -57,17 +57,20 @@ def main():
     print(f"# warmup (compile+run): {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    times = []
+    # Sustained measurement: wall time over many iterations with ONE
+    # host sync at the end (device_get forces real completion even on
+    # async backends; per-iteration syncs are not part of training).
+    t_start = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         state, metrics = trainer.train_iteration(state)
-        jax.block_until_ready((state, metrics))
-        times.append(time.perf_counter() - t0)
+    _ = float(jax.device_get(metrics["reward_mean"]))
+    total = time.perf_counter() - t_start
 
     steps_per_itr = trainer.steps_per_itr * n_players
-    best = steps_per_itr / min(times)
-    print(f"# iter times: {[round(t, 3) for t in times]} "
-          f"steps/itr={steps_per_itr}", file=sys.stderr)
+    best = steps_per_itr * iters / total
+    print(f"# {iters} iterations in {total:.2f}s "
+          f"({total / iters:.3f}s/iter), steps/itr={steps_per_itr}",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "env-steps/s (2v2 soccar, full PPO loop, 1 chip)",
