@@ -194,7 +194,7 @@ def closest_point_on_box(point, box_center, box_rot, half_extents):
 
 def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
                      half_extents, hitbox_offset, mut: MutatorConfig,
-                     inv_iw_cars):
+                     inv_iw_cars, alive=None):
     """Car-ball contact: physical impulse (friction 2.0, restitution 0 —
     Arena.cpp:289-291) + the psyonix extra impulse into the ball's velocity
     cache (Arena.cpp:283-334).
@@ -210,6 +210,9 @@ def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
     delta = ball.pos - closest
     dist = m.norm(delta)
     touching = dist < mut.ball_radius
+    if alive is not None:
+        # Demoed cars have no contact response (Car.cpp:74-77)
+        touching = touching & alive
     # Normal from car to ball; if center inside box, fall back to
     # center-to-center direction
     n = jnp.where((dist > 1e-6)[:, None], m.normalize(delta),

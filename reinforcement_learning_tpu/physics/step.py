@@ -139,7 +139,15 @@ def _respawn_cars(cars: CarsState, teams, respawn_mask, key,
 
 def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
                params: ArenaParams) -> PhysicsState:
-    """One 1/120s physics tick for a single arena."""
+    """One 1/120s physics tick for a single arena.
+
+    Structure note: all per-car updates run UNMASKED for every car; one
+    tree-level select at the end restores the frozen state of cars that
+    were demolished at tick start (reference: DISABLE_SIMULATION,
+    Car.cpp:74-87).  Only cross-object effects (ball impulses, car-car,
+    pad pickup) carry explicit alive masks.  This keeps the kernel count
+    per tick low — selects fuse, per-stage masking chains don't.
+    """
     mut = params.mutators
     cfg = params.car_config
     dt = params.dt
@@ -166,24 +174,23 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     key, krespawn = jax.random.split(key)
     cars = _respawn_cars(cars, teams, respawn_now, krespawn, mut, num_cars)
     alive = ~cars.is_demoed
-    alive3 = alive[:, None]
+    # Frozen snapshot: demoed cars keep exactly this state this tick
+    frozen_cars = cars
+    frozen_wc = wc
 
+    # World-frame inverse inertia: rotation is constant until transform
+    # integration, so one computation serves the whole tick (bullet
+    # updates it once per step too).
     inv_iw = carmod.inv_inertia_world(cars.rot, inv_i_local)
 
     # --- updateVehicleFirst: raycasts + stale friction impulses
     rc = carmod.wheel_raycasts(cars, cfg, mut, dt, inv_iw)
-    rc = rc.replace(
-        is_in_contact=rc.is_in_contact & alive[:, None],
-        in_world_contact=rc.in_world_contact & alive[:, None])
     wheel_impulses = carmod.calc_friction_impulses(cars, rc, wc, mut, dt,
                                                    inv_iw)
 
     num_contact = jnp.sum(rc.is_in_contact, axis=1)
-    is_on_ground = num_contact >= 3
-    cars = cars.replace(
-        wheels_with_contact=jnp.where(alive[:, None], rc.is_in_contact,
-                                      cars.wheels_with_contact),
-        is_on_ground=jnp.where(alive, is_on_ground, cars.is_on_ground))
+    cars = cars.replace(wheels_with_contact=rc.is_in_contact,
+                        is_on_ground=num_contact >= 3)
 
     jump_pressed = (controls[:, JUMP] > 0) & ~(cars.last_controls[:, JUMP] > 0)
     fwd_speed = m.dot(cars.vel, cars.forward)
@@ -191,40 +198,25 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     # --- _UpdateWheels
     new_wc, hb_val, sticky_accel, real_throttle = carmod.update_wheels(
         cars, rc, wc, controls, fwd_speed, dt)
-    cars = cars.replace(handbrake_val=jnp.where(alive, hb_val,
-                                                cars.handbrake_val))
-    # Preserve previous wheel-drive state for demoed cars
-    new_wc = jax.tree.map(
-        lambda new, old: jnp.where(
-            jnp.reshape(alive, alive.shape + (1,) * (new.ndim - 1)), new, old),
-        new_wc, wc)
+    cars = cars.replace(handbrake_val=hb_val)
 
     # --- air torque / flipping clear (Car.cpp:111-115)
-    air_mask = (num_contact < 3) & alive
-    zero_wheels = (num_contact == 0) & alive
+    air_mask = num_contact < 3
+    zero_wheels = num_contact == 0
     air_ang_accel, air_accel, is_flipping = carmod.update_air_torque(
         cars, controls, air_mask, zero_wheels, dt)
-    is_flipping = jnp.where(alive, jnp.where(air_mask, is_flipping, False),
-                            cars.is_flipping)
-    cars = cars.replace(is_flipping=is_flipping)
+    cars = cars.replace(is_flipping=jnp.where(air_mask, is_flipping, False))
 
     # --- jump
     jump_updates, jump_dv, jump_accel = carmod.update_jump(
         cars, controls, jump_pressed, mut, dt)
-    jump_updates = {k: jnp.where(alive, v, getattr(cars, k))
-                    for k, v in jump_updates.items()}
-    vel = cars.vel + jnp.where(alive3, jump_dv, 0.0)
-    cars = cars.replace(vel=vel, **jump_updates)
+    cars = cars.replace(vel=cars.vel + jump_dv, **jump_updates)
 
     # --- auto flip
     af_updates, af_dv, af_dw = carmod.update_auto_flip(cars, controls,
                                                        jump_pressed, dt)
-    af_updates = {k: jnp.where(alive, v, getattr(cars, k))
-                  for k, v in af_updates.items()}
-    cars = cars.replace(
-        vel=cars.vel + jnp.where(alive3, af_dv, 0.0),
-        ang_vel=cars.ang_vel + jnp.where(alive3, af_dw, 0.0),
-        **af_updates)
+    cars = cars.replace(vel=cars.vel + af_dv, ang_vel=cars.ang_vel + af_dw,
+                        **af_updates)
 
     # --- double jump / flip
     dj_updates, dj_dv, zdamp_maybe, zdamp_always = \
@@ -232,50 +224,39 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
             cars, controls, jump_pressed, fwd_speed, cfg, mut, dt,
             cars.is_jumping, cars.has_jumped, cars.jump_time,
             cars.is_flipping)
-    dj_updates = {k: jnp.where(
-        jnp.reshape(alive, alive.shape + (1,) * (v.ndim - 1)),
-        v, getattr(cars, k)) for k, v in dj_updates.items()}
-    vel = cars.vel + jnp.where(alive3, dj_dv, 0.0)
+    vel = cars.vel + dj_dv
     # Flip z-damping (Car.cpp:749-755)
-    do_damp = (zdamp_always | (zdamp_maybe & (vel[:, 2] < 0))) & alive
+    do_damp = zdamp_always | (zdamp_maybe & (vel[:, 2] < 0))
     damp_factor = (1.0 - C.FLIP_Z_DAMP_120) ** (dt * 120.0)
     vel = vel.at[:, 2].multiply(jnp.where(do_damp, damp_factor, 1.0))
     cars = cars.replace(vel=vel, **dj_updates)
 
     # --- auto roll (Car.cpp:122-123)
     ar_cond = (controls[:, THROTTLE] != 0) & (
-        ((num_contact > 0) & (num_contact < 4)) | cars.has_world_contact
-    ) & alive
+        ((num_contact > 0) & (num_contact < 4)) | cars.has_world_contact)
     ar_accel, ar_ang_accel = carmod.update_auto_roll(cars, rc, controls,
                                                      num_contact)
     ar_accel = jnp.where(ar_cond[:, None], ar_accel, 0.0)
     ar_ang_accel = jnp.where(ar_cond[:, None], ar_ang_accel, 0.0)
 
     # worldContact cleared after use (Car.cpp:125)
-    cars = cars.replace(
-        has_world_contact=jnp.where(alive, False, cars.has_world_contact))
+    cars = cars.replace(has_world_contact=jnp.zeros_like(alive))
 
     # --- updateVehicleSecond: suspension + friction application
-    inv_iw = carmod.inv_inertia_world(cars.rot, inv_i_local)
     vel, ang_vel = carmod.apply_suspension(cars, rc, cfg, mut, dt, inv_iw)
-    cars = cars.replace(vel=jnp.where(alive3, vel, cars.vel),
-                        ang_vel=jnp.where(alive3, ang_vel, cars.ang_vel))
+    cars = cars.replace(vel=vel, ang_vel=ang_vel)
     vel, ang_vel = carmod.apply_friction_impulses(cars, rc, wheel_impulses,
                                                   dt, mut, inv_iw)
-    cars = cars.replace(vel=jnp.where(alive3, vel, cars.vel),
-                        ang_vel=jnp.where(alive3, ang_vel, cars.ang_vel))
+    cars = cars.replace(vel=vel, ang_vel=ang_vel)
 
     # --- boost
     boost_updates, boost_accel = carmod.update_boost(cars, controls, mut, dt)
-    boost_updates = {k: jnp.where(alive, v, getattr(cars, k))
-                     for k, v in boost_updates.items()}
     cars = cars.replace(**boost_updates)
 
     # --- boost pad pre-tick (BoostPad.cpp:52-60)
     pads = arena.pads
     cooldown = jnp.maximum(pads.cooldown - dt, 0.0)
-    pad_active = cooldown == 0.0
-    pads = pads.replace(cooldown=cooldown, is_active=pad_active)
+    pads = pads.replace(cooldown=cooldown, is_active=cooldown == 0.0)
 
     # =======================================================================
     # World step (bullet stepSimulation)
@@ -285,44 +266,34 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     total_accel = (gravity[None, :] + sticky_accel + air_accel + jump_accel
                    + ar_accel + boost_accel)
     total_ang_accel = air_ang_accel + ar_ang_accel
-    vel = cars.vel + jnp.where(alive3, total_accel * dt, 0.0)
-    ang_vel = cars.ang_vel + jnp.where(alive3, total_ang_accel * dt, 0.0)
-    cars = cars.replace(vel=vel, ang_vel=ang_vel)
+    cars = cars.replace(vel=cars.vel + total_accel * dt,
+                        ang_vel=cars.ang_vel + total_ang_accel * dt)
 
     # Ball: sleeping + gravity + drag (Arena.cpp:721-727, Ball.cpp:95-98)
     ball_awake = (m.norm(ball.vel) > 0) | (m.norm(ball.ang_vel) > 0)
-    ball_vel = jnp.where(ball_awake, ball.vel + gravity * dt, ball.vel)
     drag = (1.0 - mut.ball_drag) ** dt
-    ball_vel = jnp.where(ball_awake, ball_vel * drag, ball_vel)
-    ball = ball.replace(vel=ball_vel)
+    ball = ball.replace(vel=jnp.where(ball_awake,
+                                      (ball.vel + gravity * dt) * drag,
+                                      ball.vel))
 
-    # --- contacts
-    inv_iw = carmod.inv_inertia_world(cars.rot, inv_i_local)
-
-    # car-world
+    # --- contacts (rotations unchanged so inv_iw is still valid)
     cw_dv, cw_dw, cw_push, cw_contact, cw_normal = contacts.resolve_car_world(
         cars, half_extents, hitbox_offset, mut, inv_iw)
     cars = cars.replace(
-        vel=cars.vel + jnp.where(alive3, cw_dv, 0.0),
-        ang_vel=cars.ang_vel + jnp.where(alive3, cw_dw, 0.0),
-        has_world_contact=jnp.where(alive, cw_contact | cars.has_world_contact,
-                                    cars.has_world_contact),
-        world_contact_normal=jnp.where((cw_contact & alive)[:, None],
-                                       cw_normal, cars.world_contact_normal))
+        vel=cars.vel + cw_dv,
+        ang_vel=cars.ang_vel + cw_dw,
+        has_world_contact=cw_contact,
+        world_contact_normal=jnp.where(cw_contact[:, None], cw_normal,
+                                       cars.world_contact_normal))
 
-    # car-ball (+psyonix impulse cache)
+    # car-ball (+psyonix impulse cache); demoed cars have no contact
+    # response so their ball-side effects are masked by `alive`
     cb_car_dv, cb_car_dw, cb_ball_dv, cb_ball_dw, ball_cache_dv, \
         hit_updates, ball_touched = contacts.resolve_car_ball(
             cars, ball, arena.tick_count, half_extents, hitbox_offset, mut,
-            inv_iw)
-    ball_touched = ball_touched & alive
-    hit_updates = {k: jnp.where(
-        jnp.reshape(alive, alive.shape + (1,) * (v.ndim - 1)),
-        v, getattr(cars, k)) for k, v in hit_updates.items()}
-    cars = cars.replace(
-        vel=cars.vel + jnp.where(alive3, cb_car_dv, 0.0),
-        ang_vel=cars.ang_vel + jnp.where(alive3, cb_car_dw, 0.0),
-        **hit_updates)
+            inv_iw, alive)
+    cars = cars.replace(vel=cars.vel + cb_car_dv,
+                        ang_vel=cars.ang_vel + cb_car_dw, **hit_updates)
     ball = ball.replace(vel=ball.vel + cb_ball_dv,
                         ang_vel=ball.ang_vel + cb_ball_dw)
 
@@ -330,24 +301,18 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     bw_dv, bw_dw, bw_push, _ = contacts.resolve_ball_world(ball, mut)
     ball = ball.replace(vel=ball.vel + bw_dv, ang_vel=ball.ang_vel + bw_dw)
 
-    # car-car (+bump/demo)
+    # car-car (+bump/demo); masks demoed cars internally
     if num_cars > 1:
         cc_dv, cc_dw, cc_cache_dv, got_demoed, bumped, demo_mat, \
             cc_updates = contacts.car_car_interactions(
                 cars, teams, half_extents, hitbox_offset, mut, inv_iw)
-        cc_updates = {k: jnp.where(alive, v, getattr(cars, k))
-                      for k, v in cc_updates.items()}
-        cars = cars.replace(
-            vel=cars.vel + jnp.where(alive3, cc_dv, 0.0),
-            ang_vel=cars.ang_vel + jnp.where(alive3, cc_dw, 0.0),
-            **cc_updates)
+        cars = cars.replace(vel=cars.vel + cc_dv,
+                            ang_vel=cars.ang_vel + cc_dw, **cc_updates)
         # Demolish (Car.cpp:38-41)
         cars = cars.replace(
             is_demoed=cars.is_demoed | got_demoed,
             demo_respawn_timer=jnp.where(got_demoed, mut.respawn_delay,
                                          cars.demo_respawn_timer))
-        alive = ~cars.is_demoed
-        alive3 = alive[:, None]
     else:
         cc_cache_dv = jnp.zeros_like(cars.vel)
         bumped = jnp.zeros((num_cars, num_cars), bool)
@@ -356,10 +321,8 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
 
     # --- integrate transforms
     cars = cars.replace(
-        pos=cars.pos + jnp.where(alive3, cars.vel * dt + cw_push, 0.0),
-        rot=jnp.where(alive[:, None, None],
-                      m.integrate_rotation(cars.rot, cars.ang_vel, dt),
-                      cars.rot))
+        pos=cars.pos + cars.vel * dt + cw_push,
+        rot=m.integrate_rotation(cars.rot, cars.ang_vel, dt))
     ball_awake = (m.norm(ball.vel) > 0) | (m.norm(ball.ang_vel) > 0)
     ball = ball.replace(
         pos=ball.pos + jnp.where(ball_awake, ball.vel * dt + bw_push, 0.0),
@@ -376,26 +339,32 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     thresh = jnp.where(maintain, C.SUPERSONIC_MAINTAIN_MIN_SPEED,
                        C.SUPERSONIC_START_SPEED)
     is_ss = speed_sq >= thresh ** 2
-    ss_time = jnp.where(is_ss, cars.supersonic_time + dt, 0.0)
-    cooldown_cc = jnp.maximum(cars.car_contact_cooldown - dt, 0.0)
     cars = cars.replace(
-        is_supersonic=jnp.where(alive, is_ss, cars.is_supersonic),
-        supersonic_time=jnp.where(alive, ss_time, cars.supersonic_time),
-        car_contact_cooldown=jnp.where(alive, cooldown_cc,
-                                       cars.car_contact_cooldown),
-        last_controls=jnp.where(alive3, controls, cars.last_controls))
+        is_supersonic=is_ss,
+        supersonic_time=jnp.where(is_ss, cars.supersonic_time + dt, 0.0),
+        car_contact_cooldown=jnp.maximum(cars.car_contact_cooldown - dt,
+                                         0.0),
+        last_controls=controls)
 
     # Finish: bump velocity cache + clamps
-    vel = cars.vel + jnp.where(alive3, cc_cache_dv, 0.0)
-    vel = m.clamp_norm(vel, C.CAR_MAX_SPEED)
-    ang_vel = m.clamp_norm(cars.ang_vel, C.CAR_MAX_ANG_SPEED)
-    cars = cars.replace(vel=jnp.where(alive3, vel, cars.vel),
-                        ang_vel=jnp.where(alive3, ang_vel, cars.ang_vel))
+    cars = cars.replace(
+        vel=m.clamp_norm(cars.vel + cc_cache_dv, C.CAR_MAX_SPEED),
+        ang_vel=m.clamp_norm(cars.ang_vel, C.CAR_MAX_ANG_SPEED))
 
     # Ball finish (Ball.cpp:113-137): psyonix cache + clamps
-    ball_vel = m.clamp_norm(ball.vel + ball_cache_dv, mut.ball_max_speed)
-    ball_ang = m.clamp_norm(ball.ang_vel, C.BALL_MAX_ANG_SPEED)
-    ball = ball.replace(vel=ball_vel, ang_vel=ball_ang)
+    ball = ball.replace(
+        vel=m.clamp_norm(ball.vel + ball_cache_dv, mut.ball_max_speed),
+        ang_vel=m.clamp_norm(ball.ang_vel, C.BALL_MAX_ANG_SPEED))
+
+    # --- restore frozen state for cars demoed at tick start (the single
+    # alive-select; reference disables their simulation entirely)
+    def _sel(upd, froz):
+        return jnp.where(jnp.reshape(alive, alive.shape
+                                     + (1,) * (upd.ndim - 1)), upd, froz)
+
+    cars = jax.tree.map(_sel, cars, frozen_cars)
+    new_wc = jax.tree.map(_sel, new_wc, frozen_wc)
+    ball_touched = ball_touched & alive
 
     # --- boost pad pickup (BoostPad.cpp:62-105)
     pads, cars = _pads_check_and_pickup(pads, cars, alive, half_extents,
