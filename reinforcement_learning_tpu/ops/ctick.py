@@ -1,0 +1,1468 @@
+"""The physics tick in component form — the body of the Pallas megakernel.
+
+This is the TPU-kernel twin of ``physics/step.arena_tick`` (which remains
+the XLA-path oracle): identical update order and formulas (reference:
+Arena::Step, Arena.cpp:716-812; Car.cpp:58-193; btVehicleRL.cpp), but every
+array is laid out for Mosaic:
+
+  * per-car fields:   shape ``(C,) + S``  (C = cars/arena, S = env tiles)
+  * per-env fields:   shape ``S``
+  * vectors/matrices: component tuples (see ops/cvec.py)
+  * wheels, planes, pads, car pairs: static python loops (no gathers)
+
+The whole state lives in one flat dict so a ``lax.fori_loop`` can carry it
+through ``tick_skip`` ticks inside a single kernel.  Teams are compile-time
+constants.  The only randomness (demo respawn location) is hoisted: the
+caller passes one pre-drawn respawn index per car per step.
+
+Differences from the XLA path, by design:
+  * respawn location uses one draw per step instead of per tick (a car can
+    respawn at most once per 8-tick step — the demo timer is 3 s);
+  * no other semantic differences; tests assert trajectory equality.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reinforcement_learning_tpu import constants as C
+from reinforcement_learning_tpu.ops import cvec as cv
+from reinforcement_learning_tpu.ops.cvec import (
+    vadd, vcross, vdot, vnorm, vnormalize, vscale, vsub, vwhere, vzero)
+
+THROTTLE, STEER, PITCH, YAW, ROLL, JUMP, BOOST, HANDBRAKE = range(8)
+
+
+# ---------------------------------------------------------------------------
+# Static per-compile constants
+
+@dataclasses.dataclass(frozen=True)
+class TickConsts:
+    """Everything the tick needs as plain python floats/tuples (folded into
+    the kernel at trace time).  Built from ArenaParams by make_consts."""
+    num_cars: int
+    teams: tuple            # per-slot team id (0/1)
+    dt: float
+    mut: object             # MutatorConfig (static dataclass)
+    half_extents: tuple     # (3,)
+    hitbox_offset: tuple    # (3,)
+    inv_i_local: tuple      # (3,) diagonal inverse inertia (BT units)
+    wheel_offsets: tuple    # (4, 3)
+    wheel_radii: tuple      # (4,)
+    sus_rest: tuple         # (4,)
+    sus_force_scale: tuple  # (4,)
+    planes: tuple           # ((nx, ny, nz, d), ...) — arena_geom._PLANES
+    corners_local: tuple    # (8, 3) hitbox corners (local, incl. offset)
+    pad_locs: tuple         # (34, 3)
+    pad_is_big: tuple       # (34,)
+    respawn_table: tuple    # (K, 3): x, y, yaw
+
+
+def make_consts(params, teams) -> TickConsts:
+    """params: physics.step.ArenaParams; teams: per-slot ints."""
+    from reinforcement_learning_tpu.physics import arena_geom as geom
+
+    cfg = params.car_config
+    mut = params.mutators
+    size = np.asarray(cfg.hitbox_size, np.float64)
+    s_bt = size * C.UU_TO_BT
+    ix = mut.car_mass / 12.0 * (s_bt[1] ** 2 + s_bt[2] ** 2)
+    iy = mut.car_mass / 12.0 * (s_bt[0] ** 2 + s_bt[2] ** 2)
+    iz = mut.car_mass / 12.0 * (s_bt[0] ** 2 + s_bt[1] ** 2)
+
+    he = size / 2.0
+    off = np.asarray(cfg.hitbox_offset, np.float64)
+    corners = [(off[0] + sx * he[0], off[1] + sy * he[1], off[2] + sz * he[2])
+               for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+
+    return TickConsts(
+        num_cars=params.num_cars,
+        teams=tuple(int(t) for t in np.asarray(teams)),
+        dt=float(params.dt),
+        mut=mut,
+        half_extents=tuple(he),
+        hitbox_offset=tuple(off),
+        inv_i_local=(1.0 / ix, 1.0 / iy, 1.0 / iz),
+        wheel_offsets=tuple(map(tuple, cfg.wheel_offsets())),
+        wheel_radii=tuple(float(r) for r in cfg.wheel_radii()),
+        sus_rest=tuple(float(r) for r in cfg.sus_rest_lengths()),
+        sus_force_scale=tuple(float(r) for r in cfg.sus_force_scales()),
+        planes=tuple(map(tuple, np.asarray(geom._PLANES, np.float64))),
+        corners_local=tuple(corners),
+        pad_locs=tuple(map(tuple, np.asarray(C.BOOST_PAD_LOCS_SOCCAR))),
+        pad_is_big=tuple(bool(b) for b in C.BOOST_PAD_IS_BIG),
+        respawn_table=tuple(map(tuple,
+                                np.asarray(C.CAR_RESPAWN_LOCATIONS_SOCCAR))),
+    )
+
+
+# Plane indices (mirror arena_geom)
+_FLOOR, _CEIL, _WXN, _WXP, _WYN, _WYP = range(6)
+_GXN, _GXP, _GCEIL, _NYN, _NYP = 10, 11, 12, 13, 14
+
+
+def _plane_validity(k: TickConsts, pos):
+    """Per-plane validity masks for a query at ``pos`` (Vec).  Mirrors
+    arena_geom.plane_validity.  Returns a list of 15 bool arrays (or True
+    for unconditional planes)."""
+    x, y, z = pos
+    in_goal_xz = (jnp.abs(x) < C.GOAL_HALF_WIDTH) & (z < C.GOAL_HEIGHT)
+    behind = jnp.abs(y) > C.ARENA_EXTENT_Y
+    valid = [True] * len(k.planes)
+    valid[_WYN] = ~(in_goal_xz & (y < 0))
+    valid[_WYP] = ~(in_goal_xz & (y > 0))
+    valid[_GXN] = behind
+    valid[_GXP] = behind
+    valid[_GCEIL] = behind
+    valid[_NYN] = y < 0
+    valid[_NYP] = y > 0
+    return valid
+
+
+def _plane_dist(plane, pos):
+    nx, ny, nz, d = plane
+    return nx * pos[0] + ny * pos[1] + nz * pos[2] + d
+
+
+def _raycast(k: TickConsts, start, direction, max_len):
+    """Raycast against the arena planes (mirrors geom.raycast_down_dir).
+    start/direction: Vec; returns (hit, dist, normal Vec)."""
+    valid = _plane_validity(k, start)
+    big = jnp.full_like(start[0], 1e30)
+    t_min = big
+    nx = jnp.zeros_like(start[0])
+    ny = jnp.zeros_like(start[0])
+    nz = jnp.zeros_like(start[0])
+    for p, plane in enumerate(k.planes):
+        pn = plane[:3]
+        dist_p = _plane_dist(plane, start)
+        denom = -(direction[0] * pn[0] + direction[1] * pn[1]
+                  + direction[2] * pn[2])
+        ok = denom > 1e-6
+        t = jnp.where(ok, dist_p / jnp.maximum(denom, 1e-6), big)
+        t = jnp.where(valid[p] & (t >= 0) if valid[p] is not True
+                      else (t >= 0), t, big)
+        closer = t < t_min
+        nx = jnp.where(closer, pn[0], nx)
+        ny = jnp.where(closer, pn[1], ny)
+        nz = jnp.where(closer, pn[2], nz)
+        t_min = jnp.minimum(t_min, t)
+    hit = t_min <= max_len
+    dist = jnp.where(hit, t_min, max_len)
+    return hit, dist, (nx, ny, nz)
+
+
+def _iw_vec(iw, a):
+    """Apply 3x3 matrix (nested tuple) to Vec."""
+    return cv.matvec(iw, a)
+
+
+def _contact_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
+                       restitution_coeff, friction_coeff):
+    """Component twin of contacts._contact_impulse_vs_static.
+    Returns (dv Vec (bt), dw Vec, j_n)."""
+    vel_at = vadd(vel_bt, vcross(ang_vel, r_bt))
+    rel_vel = vdot(n, vel_at)
+
+    torque_axis = vcross(r_bt, n)
+    ang_comp = _iw_vec(inv_iw, torque_axis)
+    denom = inv_mass + vdot(n, vcross(ang_comp, r_bt))
+
+    rest = restitution_coeff * -rel_vel
+    rest = jnp.where(jnp.abs(rel_vel) < 0.2, 0.0, rest)
+    rest = jnp.maximum(rest, 0.0)
+    j_n = jnp.maximum((rest - rel_vel) / jnp.maximum(denom, 1e-12), 0.0)
+
+    imp = vscale(n, j_n)
+    dv = vscale(imp, inv_mass)
+    dw = _iw_vec(inv_iw, vcross(r_bt, imp))
+
+    vel_at2 = vadd(vadd(vel_bt, dv), vcross(vadd(ang_vel, dw), r_bt))
+    tang = vsub(vel_at2, vscale(n, vdot(n, vel_at2)))
+    t_len = vnorm(tang)
+    t_dir = vwhere(t_len > 1e-9, vscale(tang, 1.0 / jnp.maximum(t_len, 1e-9)),
+                   vzero(t_len))
+
+    t_axis = vcross(r_bt, t_dir)
+    t_ang = _iw_vec(inv_iw, t_axis)
+    t_denom = inv_mass + vdot(t_dir, vcross(t_ang, r_bt))
+    rel_vel_t = vdot(t_dir, vel_at2)
+    j_t = -rel_vel_t / jnp.maximum(t_denom, 1e-12)
+    j_t = jnp.clip(j_t, -friction_coeff * j_n, friction_coeff * j_n)
+
+    imp_t = vscale(t_dir, j_t)
+    dv = vadd(dv, vscale(imp_t, inv_mass))
+    dw = vadd(dw, _iw_vec(inv_iw, vcross(r_bt, imp_t)))
+    return dv, dw, j_n
+
+
+# ---------------------------------------------------------------------------
+# Suspension raycasts + friction (btVehicleRL; twin of physics/car.py)
+
+def _wheel_raycasts(k: TickConsts, st, inv_iw):
+    """Per-wheel raycast data.  Returns a dict of lists (len 4):
+    hit, contact_point (Vec), normal (Vec), susp_len, susp_rel_vel,
+    clipped_inv_dot, extra_pushback, hard_point (Vec)."""
+    mut = k.mut
+    dt = k.dt
+    up = cv.up(st['rot'])
+    wheel_dir = cv.vneg(up)
+    sus_sub_uu = C.BTVehicle.SUSPENSION_SUBTRACTION * C.BT_TO_UU
+    travel = C.BTVehicle.MAX_SUSPENSION_TRAVEL
+    combined_rest = max(C.CAR_COLLISION_RESTITUTION, C.WORLD_RESTITUTION)
+
+    out = dict(hit=[], cp=[], n=[], susp_len=[], susp_rel_vel=[],
+               clipped_inv=[], extra_push=[], hard=[])
+    for w in range(4):
+        rest_len = k.sus_rest[w]
+        radius = k.wheel_radii[w]
+        hard = vadd(st['pos'], cv.matvec(st['rot'],
+                                         cv.vconst(k.wheel_offsets[w],
+                                                   st['pos'][0])))
+        ray_len = rest_len + travel + radius - sus_sub_uu
+        hit, dist, n = _raycast(k, hard, wheel_dir, ray_len)
+        cp = vadd(hard, vscale(wheel_dir, dist))
+        trace_len = vdot(vsub(hard, cp), up)
+        susp_len = jnp.clip(trace_len - radius, rest_len - travel,
+                            rest_len + travel)
+        susp_len = jnp.where(hit, susp_len, rest_len + travel)
+
+        rel = vscale(vsub(cp, st['pos']), C.UU_TO_BT)
+        vel_at = vadd(vscale(st['vel'], C.UU_TO_BT),
+                      vcross(st['ang_vel'], rel))
+        proj_vel = vdot(n, vel_at)
+        denom = vdot(n, up)
+        good = denom > 0.1
+        inv = jnp.where(good, 1.0 / jnp.maximum(denom, 0.1), 10.0)
+        susp_rel_vel = jnp.where(hit & good, proj_vel * inv, 0.0)
+        clipped_inv = jnp.where(hit, jnp.where(good, inv, 10.0), 1.0)
+
+        push_thresh = rest_len + radius - sus_sub_uu
+        delta = (trace_len - push_thresh) * C.UU_TO_BT
+        needs = hit & (trace_len < push_thresh)
+        restitution = combined_rest * -proj_vel
+        pos_err = 0.2 * -delta / dt
+        vel_err = -(1.0 + restitution) * proj_vel
+        r_cross_n = vcross(rel, n)
+        ang_term = vdot(vcross(_iw_vec(inv_iw, r_cross_n), rel), n)
+        denom0 = (1.0 / mut.car_mass) + ang_term
+        imp = jnp.maximum((pos_err + vel_err) / jnp.maximum(denom0, 1e-9),
+                          0.0)
+        extra_push = jnp.where(needs, imp / 4.0, 0.0)
+
+        n = vwhere(hit, n, up)
+        out['hit'].append(hit)
+        out['cp'].append(cp)
+        out['n'].append(n)
+        out['susp_len'].append(susp_len)
+        out['susp_rel_vel'].append(susp_rel_vel)
+        out['clipped_inv'].append(clipped_inv)
+        out['extra_push'].append(extra_push)
+        out['hard'].append(hard)
+    return out
+
+
+def _calc_friction_impulses(k: TickConsts, st, rc, wc, inv_iw):
+    """Twin of car.calc_friction_impulses: list of 4 impulse Vecs (BT)."""
+    mut = k.mut
+    friction_scale = mut.car_mass / 3.0
+    up = cv.up(st['rot'])
+    rightv = cv.right(st['rot'])
+    impulses = []
+    for w in range(4):
+        steer = wc['steer_angle'] if w < 2 else jnp.zeros_like(
+            wc['steer_angle'])
+        cs, sn = jnp.cos(steer), jnp.sin(steer)
+        axle0 = vadd(vscale(rightv, cs), vscale(vcross(up, rightv), sn))
+        n = rc['n'][w]
+        axle = vnormalize(vsub(axle0, vscale(n, vdot(axle0, n))))
+        fwd_dir = vnormalize(vcross(n, axle))
+
+        rel = vscale(vsub(rc['cp'][w], st['pos']), C.UU_TO_BT)
+        vel_at = vadd(vscale(st['vel'], C.UU_TO_BT),
+                      vcross(st['ang_vel'], rel))
+
+        rel_vel_side = vdot(vel_at, axle)
+        r_cross_n = vcross(rel, axle)
+        ang_term = vdot(vcross(_iw_vec(inv_iw, r_cross_n), rel), axle)
+        jac = (1.0 / mut.car_mass) + ang_term
+        side = -C.SIDE_FRICTION_CONTACT_DAMPING * rel_vel_side / (
+            jnp.maximum(jac, 1e-9))
+
+        rel_vel_fwd = vdot(vel_at, fwd_dir)
+        brake = wc['brake']
+        engine = wc['engine_force']
+        rolling_brake = jnp.clip(
+            -rel_vel_fwd * C.ROLLING_FRICTION_SCALE_MAGIC, -brake, brake)
+        rolling = jnp.where(engine == 0.0,
+                            jnp.where(brake > 0.0, rolling_brake, 0.0),
+                            -engine / friction_scale)
+
+        total = vadd(vscale(fwd_dir, rolling * wc['long_friction'][w]),
+                     vscale(axle, side * wc['lat_friction'][w]))
+        imp = vscale(total, friction_scale)
+        impulses.append(vwhere(rc['hit'][w], imp, vzero(imp[0])))
+    return impulses
+
+
+def _apply_suspension(k: TickConsts, st, rc, inv_iw):
+    """car.apply_suspension: returns (vel, ang_vel)."""
+    mut, dt = k.mut, k.dt
+    dv = vzero(st['vel'][0])
+    torque = vzero(st['vel'][0])
+    for w in range(4):
+        spring = ((k.sus_rest[w] - rc['susp_len'][w]) * C.UU_TO_BT
+                  * C.BTVehicle.SUSPENSION_STIFFNESS * rc['clipped_inv'][w])
+        damping_scale = jnp.where(rc['susp_rel_vel'][w] < 0,
+                                  C.BTVehicle.WHEELS_DAMPING_COMPRESSION,
+                                  C.BTVehicle.WHEELS_DAMPING_RELAXATION)
+        force = (spring - damping_scale * rc['susp_rel_vel'][w]) \
+            * k.sus_force_scale[w]
+        force = jnp.maximum(force, 0.0)
+        force = jnp.where(rc['hit'][w], force, 0.0)
+        base = force * dt + rc['extra_push'][w]
+        imp = vscale(rc['n'][w], base)
+        rel = vscale(vsub(rc['cp'][w], st['pos']), C.UU_TO_BT)
+        dv = vadd(dv, imp)
+        torque = vadd(torque, vcross(rel, imp))
+    vel = vadd(st['vel'], vscale(dv, C.BT_TO_UU / mut.car_mass))
+    ang_vel = vadd(st['ang_vel'], _iw_vec(inv_iw, torque))
+    return vel, ang_vel
+
+
+def _apply_friction_impulses(k: TickConsts, st, rc, impulses, inv_iw):
+    """car.apply_friction_impulses: impulse * dt at contact offset with the
+    up-component removed."""
+    mut, dt = k.mut, k.dt
+    up = cv.up(st['rot'])
+    dv = vzero(st['vel'][0])
+    torque = vzero(st['vel'][0])
+    for w in range(4):
+        offset = vscale(vsub(rc['cp'][w], st['pos']), C.UU_TO_BT)
+        rel = vsub(offset, vscale(up, vdot(offset, up)))
+        imp = vscale(impulses[w], dt)
+        dv = vadd(dv, imp)
+        torque = vadd(torque, vcross(rel, imp))
+    vel = vadd(st['vel'], vscale(dv, C.BT_TO_UU / mut.car_mass))
+    ang_vel = vadd(st['ang_vel'], _iw_vec(inv_iw, torque))
+    return vel, ang_vel
+
+
+def _update_wheels(k: TickConsts, st, rc, wc, controls, fwd_speed,
+                   num_contact):
+    """car.update_wheels: returns (new wc dict, hb_val, sticky_accel Vec,
+    real_throttle)."""
+    dt = k.dt
+    abs_speed = jnp.abs(fwd_speed)
+
+    hb_input = controls[HANDBRAKE] > 0
+    hb_val = jnp.where(hb_input,
+                       st['handbrake_val'] + C.POWERSLIDE_RISE_RATE * dt,
+                       st['handbrake_val'] - C.POWERSLIDE_FALL_RATE * dt)
+    hb_val = jnp.clip(hb_val, 0.0, 1.0)
+
+    throttle = controls[THROTTLE]
+    boosting = (controls[BOOST] > 0) & (st['boost'] > 0)
+    real_throttle = jnp.where(boosting, 1.0, throttle)
+
+    drive_scale = cv.curve(C.DRIVE_SPEED_TORQUE_FACTOR_CURVE, abs_speed)
+    abs_throttle = jnp.abs(real_throttle)
+
+    opposite = (abs_speed > C.STOPPING_FORWARD_VEL) & (
+        jnp.sign(real_throttle) != jnp.sign(fwd_speed))
+    engine_throttle_nh = jnp.where(
+        abs_throttle >= C.THROTTLE_DEADZONE,
+        jnp.where(opposite & (abs_speed > C.BRAKING_NO_THROTTLE_SPEED_THRESH),
+                  0.0, real_throttle),
+        0.0)
+    brake_nh = jnp.where(
+        abs_throttle >= C.THROTTLE_DEADZONE,
+        jnp.where(opposite, 1.0, 0.0),
+        jnp.where(abs_speed < C.STOPPING_FORWARD_VEL, 1.0,
+                  C.COASTING_BRAKE_FACTOR))
+    engine_throttle = jnp.where(hb_input, real_throttle, engine_throttle_nh)
+    real_brake = jnp.where(hb_input, 0.0, brake_nh)
+
+    drive_scale = jnp.where(num_contact < 3, drive_scale / 4.0, drive_scale)
+    engine_force = engine_throttle * (C.THROTTLE_TORQUE_AMOUNT
+                                      * C.UU_TO_BT) * drive_scale
+    brake_force = real_brake * (C.BRAKE_TORQUE_AMOUNT * C.UU_TO_BT)
+
+    steer_angle = cv.curve(C.STEER_ANGLE_FROM_SPEED_CURVE, abs_speed)
+    ps_angle = cv.curve(C.POWERSLIDE_STEER_ANGLE_FROM_SPEED_CURVE, abs_speed)
+    steer_angle = steer_angle + (ps_angle - steer_angle) * hb_val
+    steer_angle = steer_angle * controls[STEER]
+
+    up = cv.up(st['rot'])
+    rightv = cv.right(st['rot'])
+    cs, sn = jnp.cos(steer_angle), jnp.sin(steer_angle)
+    steered_right = vadd(vscale(rightv, cs), vscale(vcross(up, rightv), sn))
+
+    new_lat, new_long = [], []
+    sticky = real_throttle != 0.0
+    for w in range(4):
+        lat_dir = steered_right if w < 2 else rightv
+        long_dir = vcross(lat_dir, rc['n'][w])
+        rel = vsub(rc['hard'][w], st['pos'])
+        cross_vec = vscale(
+            vadd(vcross(st['ang_vel'], vscale(rel, C.UU_TO_BT)),
+                 vscale(st['vel'], C.UU_TO_BT)), C.BT_TO_UU)
+        base_fric = jnp.abs(vdot(cross_vec, lat_dir))
+        fric_input = jnp.where(
+            base_fric > 5.0,
+            base_fric / (jnp.abs(vdot(cross_vec, long_dir)) + base_fric),
+            0.0)
+        lat_f = cv.curve(C.LAT_FRICTION_CURVE, fric_input)
+        long_f = cv.curve(C.LONG_FRICTION_CURVE, fric_input)
+
+        lat_hb = lat_f * ((cv.curve(C.HANDBRAKE_LAT_FRICTION_FACTOR_CURVE,
+                                    fric_input) - 1.0) * hb_val + 1.0)
+        long_hb = long_f * ((cv.curve(C.HANDBRAKE_LONG_FRICTION_FACTOR_CURVE,
+                                      fric_input) - 1.0) * hb_val + 1.0)
+        has_hb = hb_val > 0
+        lat_f = jnp.where(has_hb, lat_hb, lat_f)
+        long_f = jnp.where(has_hb, long_hb, jnp.ones_like(long_f))
+
+        non_sticky_scale = cv.curve(C.NON_STICKY_FRICTION_FACTOR_CURVE,
+                                    rc['n'][w][2])
+        lat_f = jnp.where(sticky, lat_f, lat_f * non_sticky_scale)
+        long_f = jnp.where(sticky, long_f, long_f * non_sticky_scale)
+
+        lat_f = jnp.where(rc['hit'][w], lat_f, wc['lat_friction'][w])
+        long_f = jnp.where(rc['hit'][w], long_f, wc['long_friction'][w])
+        new_lat.append(lat_f)
+        new_long.append(long_f)
+
+    # Sticky force (Car.cpp:463-474)
+    any_world = rc['hit'][0] | rc['hit'][1] | rc['hit'][2] | rc['hit'][3]
+    sum_n = vzero(st['pos'][0])
+    for w in range(4):
+        sum_n = vadd(sum_n, vwhere(rc['hit'][w], rc['n'][w],
+                                   vzero(sum_n[0])))
+    up_dir = vwhere(vnorm(sum_n) > 1e-9, vnormalize(sum_n), up)
+    full_stick = (real_throttle != 0.0) | (abs_speed > C.STOPPING_FORWARD_VEL)
+    sticky_scale = 0.5 + jnp.where(full_stick,
+                                   1.0 - jnp.abs(up_dir[2]), 0.0)
+    sticky_accel = vscale(up_dir, sticky_scale * C.GRAVITY_Z)
+    sticky_accel = vwhere(any_world, sticky_accel, vzero(sticky_accel[0]))
+
+    new_wc = dict(steer_angle=steer_angle, engine_force=engine_force,
+                  brake=brake_force, lat_friction=new_lat,
+                  long_friction=new_long)
+    return new_wc, hb_val, sticky_accel, real_throttle
+
+
+# ---------------------------------------------------------------------------
+# Car state machines (twins of physics/car.py)
+
+def _update_air_torque(k: TickConsts, st, controls, in_air_mask, zero_wheels):
+    """car.update_air_torque: (ang_accel Vec, accel Vec, is_flipping)."""
+    fwd = cv.forward(st['rot'])
+    rightv = cv.right(st['rot'])
+    upv = cv.up(st['rot'])
+    dir_pitch = cv.vneg(rightv)
+    dir_yaw = upv
+    dir_roll = cv.vneg(fwd)
+
+    is_flipping = st['is_flipping'] & st['has_flipped'] & (
+        st['flip_time'] < C.FLIP_TORQUE_TIME)
+
+    rt = st['flip_rel_torque']
+    has_rel_torque = (rt[0] != 0.0) | (rt[1] != 0.0) | (rt[2] != 0.0)
+
+    pitch_in = controls[PITCH]
+    flip_cancel = (rt[1] != 0.0) & (pitch_in != 0.0) & (
+        jnp.sign(rt[1]) == jnp.sign(pitch_in))
+    pitch_scale = jnp.where(flip_cancel,
+                            1.0 - jnp.minimum(jnp.abs(pitch_in), 1.0), 1.0)
+    dodge_torque = (rt[0] * C.FLIP_TORQUE_X, rt[1] * pitch_scale
+                    * C.FLIP_TORQUE_Y, jnp.zeros_like(rt[2]))
+    flip_ang_accel = cv.matvec(st['rot'], dodge_torque)
+    flip_ang_accel = vwhere(is_flipping & has_rel_torque, flip_ang_accel,
+                            vzero(rt[0]))
+
+    do_air_control = jnp.where(
+        is_flipping, has_rel_torque & flip_cancel | ~has_rel_torque,
+        jnp.ones_like(is_flipping))
+    do_air_control &= ~st['is_auto_flipping']
+    do_air_control &= zero_wheels
+
+    pitch_lock = is_flipping | (
+        st['has_flipped']
+        & (st['flip_time'] < C.FLIP_TORQUE_TIME + C.FLIP_PITCHLOCK_EXTRA_TIME))
+    pitch_torque_scale = jnp.where(pitch_lock, 0.0, 1.0)
+
+    yaw_in = controls[YAW]
+    roll_in = controls[ROLL]
+    any_input = (pitch_in != 0) | (yaw_in != 0) | (roll_in != 0)
+    tx, ty, tz = C.CAR_AIR_CONTROL_TORQUE
+    torque = vadd(vscale(dir_pitch, pitch_in * pitch_torque_scale * tx),
+                  vscale(dir_yaw, yaw_in * ty),
+                  vscale(dir_roll, roll_in * tz))
+    torque = vwhere(any_input, torque, vzero(torque[0]))
+
+    dx, dy, dz = C.CAR_AIR_CONTROL_DAMPING
+    damp_pitch = vdot(dir_pitch, st['ang_vel']) * dx * (
+        1.0 - jnp.abs(jnp.where(do_air_control,
+                                pitch_in * pitch_torque_scale, 0.0)))
+    damp_yaw = vdot(dir_yaw, st['ang_vel']) * dy * (
+        1.0 - jnp.abs(jnp.where(do_air_control, yaw_in, 0.0)))
+    damp_roll = vdot(dir_roll, st['ang_vel']) * dz
+    damping = vadd(vscale(dir_yaw, damp_yaw), vscale(dir_pitch, damp_pitch),
+                   vscale(dir_roll, damp_roll))
+    control_ang_accel = vscale(vsub(torque, damping), C.CAR_TORQUE_SCALE)
+    control_ang_accel = vwhere(do_air_control, control_ang_accel,
+                               vzero(torque[0]))
+
+    throttle = controls[THROTTLE]
+    air_accel = vscale(fwd, throttle * C.THROTTLE_AIR_ACCEL)
+    air_accel = vwhere(throttle != 0.0, air_accel, vzero(throttle))
+
+    ang_accel = vadd(flip_ang_accel, control_ang_accel)
+    ang_accel = vwhere(in_air_mask, ang_accel, vzero(ang_accel[0]))
+    accel = vwhere(in_air_mask, air_accel, vzero(air_accel[0]))
+    is_flipping = jnp.where(in_air_mask, is_flipping, False)
+    return ang_accel, accel, is_flipping
+
+
+def _update_jump(k: TickConsts, st, controls, jump_pressed):
+    """car.update_jump: returns (updates dict, dv Vec, accel Vec)."""
+    mut, dt = k.mut, k.dt
+    on_ground = st['is_on_ground']
+    is_jumping = st['is_jumping']
+    has_jumped = st['has_jumped']
+    jump_time = st['jump_time']
+
+    reset_ok = on_ground & ~is_jumping & ~(
+        has_jumped & (jump_time < C.JUMP_MIN_TIME + C.JUMP_RESET_TIME_PAD))
+    has_jumped = jnp.where(reset_ok, False, has_jumped)
+    jump_time = jnp.where(reset_ok, 0.0, jump_time)
+
+    cont = (jump_time < C.JUMP_MIN_TIME) | (
+        (controls[JUMP] > 0) & (jump_time < C.JUMP_MAX_TIME))
+    start = ~is_jumping & on_ground & jump_pressed
+    new_is_jumping = jnp.where(is_jumping, cont, start)
+    jump_time = jnp.where(start, 0.0, jump_time)
+
+    upv = cv.up(st['rot'])
+    dv = vwhere(start, vscale(upv, mut.jump_immediate_force),
+                vzero(jump_time))
+
+    has_jumped = jnp.where(new_is_jumping, True, has_jumped)
+    accel_scale = jnp.where(jump_time < C.JUMP_MIN_TIME,
+                            C.JUMP_PRE_MIN_ACCEL_SCALE, 1.0)
+    accel = vwhere(new_is_jumping,
+                   vscale(upv, mut.jump_accel * accel_scale),
+                   vzero(jump_time))
+
+    jump_time = jnp.where(new_is_jumping | has_jumped,
+                          jump_time + dt, jump_time)
+    updates = dict(is_jumping=new_is_jumping, has_jumped=has_jumped,
+                   jump_time=jump_time)
+    return updates, dv, accel
+
+
+def _update_auto_flip(k: TickConsts, st, controls, jump_pressed):
+    """car.update_auto_flip."""
+    dt = k.dt
+    roll_ang = cv.roll_angle(st['rot'])
+    abs_roll = jnp.abs(roll_ang)
+    trigger = (jump_pressed & st['has_world_contact']
+               & (st['world_contact_normal'][2] > C.CAR_AUTOFLIP_NORMZ_THRESH)
+               & (abs_roll > C.CAR_AUTOFLIP_ROLL_THRESH))
+
+    timer = jnp.where(trigger, C.CAR_AUTOFLIP_TIME * (abs_roll / np.pi),
+                      st['auto_flip_timer'])
+    scale = jnp.where(trigger, jnp.where(roll_ang > 0, 1.0, -1.0),
+                      st['auto_flip_torque_scale'])
+    is_af = jnp.where(trigger, True, st['is_auto_flipping'])
+
+    upv = cv.up(st['rot'])
+    dv = vwhere(trigger, vscale(cv.vneg(upv), C.CAR_AUTOFLIP_IMPULSE),
+                vzero(timer))
+
+    active = is_af & (timer > 0)
+    expired = is_af & ~active
+    fwd = cv.forward(st['rot'])
+    dw = vwhere(active,
+                vscale(fwd, C.CAR_AUTOFLIP_TORQUE * scale * dt),
+                vzero(timer))
+    timer = jnp.where(active, timer - dt, jnp.where(expired, 0.0, timer))
+    is_af = jnp.where(expired, False, is_af)
+    updates = dict(is_auto_flipping=is_af, auto_flip_timer=timer,
+                   auto_flip_torque_scale=scale)
+    return updates, dv, dw
+
+
+def _update_double_jump_or_flip(k: TickConsts, st, controls, jump_pressed,
+                                fwd_speed, is_jumping, has_jumped, jump_time,
+                                is_flipping):
+    """car.update_double_jump_or_flip: (updates, dv Vec, z_damp_maybe,
+    z_damp_always)."""
+    mut, dt = k.mut, k.dt
+    cfg_deadzone = C.DODGE_DEADZONE
+    on_ground = st['is_on_ground']
+    air = ~on_ground
+
+    has_double_jumped = jnp.where(on_ground, False, st['has_double_jumped'])
+    has_flipped = jnp.where(on_ground, False, st['has_flipped'])
+    air_time = jnp.where(on_ground, 0.0, st['air_time'] + dt)
+    atsj = jnp.where(
+        on_ground, 0.0,
+        jnp.where(has_jumped & ~is_jumping,
+                  st['air_time_since_jump'] + dt, 0.0))
+    flip_time = jnp.where(on_ground, 0.0, st['flip_time'])
+    frt = st['flip_rel_torque']
+
+    press_window = air & jump_pressed & (atsj < C.DOUBLEJUMP_MAX_DELAY)
+    yaw_in, pitch_in, roll_in = controls[YAW], controls[PITCH], controls[ROLL]
+    input_mag = jnp.abs(yaw_in) + jnp.abs(pitch_in) + jnp.abs(roll_in)
+    is_flip_input = input_mag >= cfg_deadzone
+
+    fresh = ~has_double_jumped & ~has_flipped
+    can_flip = fresh | mut.unlimited_flips
+    can_dj = fresh | mut.unlimited_double_jumps
+    can_use = jnp.where(is_flip_input, can_flip, can_dj)
+    can_use &= ~st['is_auto_flipping']
+
+    do_flip = press_window & can_use & is_flip_input
+    do_dj = press_window & can_use & ~is_flip_input
+
+    # --- flip initiation (Car.cpp:677-737)
+    fwd_ratio = jnp.abs(fwd_speed) / C.CAR_MAX_SPEED
+    yaw_roll = yaw_in + roll_in
+    dodge_dir = (-pitch_in, yaw_roll, jnp.zeros_like(pitch_in))
+    stall = (jnp.abs(yaw_roll) < 0.1) & (jnp.abs(pitch_in) < 0.1)
+    dodge_dir = vwhere(stall, vzero(pitch_in), vnormalize(dodge_dir))
+    new_rel_torque = (-dodge_dir[1], dodge_dir[0], jnp.zeros_like(pitch_in))
+    ddx = jnp.where(jnp.abs(dodge_dir[0]) < 0.1, 0.0, dodge_dir[0])
+    ddy = jnp.where(jnp.abs(dodge_dir[1]) < 0.1, 0.0, dodge_dir[1])
+    nonzero_dd = (jnp.abs(ddx) > 1e-7) | (jnp.abs(ddy) > 1e-7)
+
+    backwards = jnp.where(jnp.abs(fwd_speed) < 100.0,
+                          ddx < 0.0,
+                          (ddx >= 0.0) != (fwd_speed >= 0.0))
+    ivx = ddx * C.FLIP_INITIAL_VEL_SCALE
+    ivy = ddy * C.FLIP_INITIAL_VEL_SCALE
+    max_x = jnp.where(backwards, C.FLIP_BACKWARD_IMPULSE_MAX_SPEED_SCALE,
+                      C.FLIP_FORWARD_IMPULSE_MAX_SPEED_SCALE)
+    vx = ivx * ((max_x - 1.0) * fwd_ratio + 1.0)
+    vy = ivy * ((C.FLIP_SIDE_IMPULSE_MAX_SPEED_SCALE - 1.0) * fwd_ratio + 1.0)
+    vx = jnp.where(backwards, vx * C.FLIP_BACKWARD_IMPULSE_SCALE_X, vx)
+
+    fwd = cv.forward(st['rot'])
+    # cos/sin of atan2(f1, f0) computed directly (no atan2 in Mosaic):
+    h = jnp.sqrt(fwd[0] * fwd[0] + fwd[1] * fwd[1])
+    ca = jnp.where(h > 1e-12, fwd[0] / jnp.maximum(h, 1e-12), 1.0)
+    sa = jnp.where(h > 1e-12, fwd[1] / jnp.maximum(h, 1e-12), 0.0)
+    dvx = vx * ca + vy * sa
+    dvy = -vx * sa + vy * ca
+    flip_dv = (dvx, dvy, jnp.zeros_like(dvx))
+    flip_dv = vwhere(do_flip & nonzero_dd, flip_dv, vzero(dvx))
+
+    flip_time = jnp.where(do_flip, 0.0, flip_time)
+    has_flipped = jnp.where(do_flip, True, has_flipped)
+    is_flipping = jnp.where(do_flip, True, is_flipping)
+    frt = vwhere(do_flip, new_rel_torque, frt)
+
+    # --- double jump
+    upv = cv.up(st['rot'])
+    dj_dv = vwhere(do_dj, vscale(upv, C.JUMP_IMMEDIATE_FORCE), vzero(dvx))
+    has_double_jumped = jnp.where(do_dj, True, has_double_jumped)
+
+    # --- flip timing + z damping
+    flip_time_next = jnp.where(is_flipping | has_flipped,
+                               flip_time + dt, flip_time)
+    in_torque_window = is_flipping & (flip_time_next <= C.FLIP_TORQUE_TIME)
+    z_damp = in_torque_window & (flip_time_next >= C.FLIP_Z_DAMP_START)
+    z_damp_maybe = z_damp
+    z_damp_always = z_damp & (flip_time_next < C.FLIP_Z_DAMP_END)
+
+    updates = dict(
+        has_double_jumped=has_double_jumped, has_flipped=has_flipped,
+        air_time=air_time, air_time_since_jump=atsj,
+        flip_time=flip_time_next, is_flipping=is_flipping,
+        flip_rel_torque=frt)
+    dv = vadd(flip_dv, dj_dv)
+    return updates, dv, z_damp_maybe, z_damp_always
+
+
+def _update_auto_roll(k: TickConsts, st, rc, num_contact):
+    """car.update_auto_roll: (accel Vec, ang_accel Vec); caller masks."""
+    upv = cv.up(st['rot'])
+    sum_n = vzero(st['pos'][0])
+    for w in range(4):
+        sum_n = vadd(sum_n, vwhere(rc['hit'][w], rc['n'][w], vzero(sum_n[0])))
+    wheels_up = vwhere(vnorm(sum_n) > 1e-9, vnormalize(sum_n), upv)
+    ground_up = vwhere(num_contact > 0, wheels_up,
+                       st['world_contact_normal'])
+    ground_down = cv.vneg(ground_up)
+
+    fdir = cv.forward(st['rot'])
+    rdir = cv.right(st['rot'])
+    cross_right = vcross(ground_up, fdir)
+    cross_fwd = vcross(ground_down, cross_right)
+
+    right_factor = 1.0 - jnp.clip(vdot(rdir, cross_right), 0.0, 1.0)
+    fwd_factor = 1.0 - jnp.clip(vdot(fdir, cross_fwd), 0.0, 1.0)
+
+    t_dir_right = vscale(fdir, jnp.where(vdot(rdir, ground_up) >= 0,
+                                         -1.0, 1.0))
+    t_dir_fwd = vscale(rdir, jnp.where(vdot(fdir, ground_up) >= 0,
+                                       1.0, -1.0))
+    torque = vadd(vscale(t_dir_right, right_factor),
+                  vscale(t_dir_fwd, fwd_factor))
+
+    accel = vscale(ground_down, C.CAR_AUTOROLL_FORCE)
+    ang_accel = vscale(torque, C.CAR_AUTOROLL_TORQUE)
+    return accel, ang_accel
+
+
+def _update_boost(k: TickConsts, st, controls):
+    """car.update_boost: (updates dict, accel Vec)."""
+    mut, dt = k.mut, k.dt
+    boosting_input = controls[BOOST] > 0
+    tsb = st['time_spent_boosting']
+    stop = ~boosting_input & (tsb >= C.BOOST_MIN_TIME)
+    tsb = jnp.where(tsb > 0,
+                    jnp.where(stop, 0.0, tsb + dt),
+                    jnp.where(boosting_input, dt, 0.0))
+
+    active = (st['boost'] > 0) & (tsb > 0)
+    boost_amt = jnp.where(
+        active,
+        jnp.maximum(st['boost'] - mut.boost_used_per_second * dt, 0.0),
+        st['boost'])
+    boost_amt = jnp.minimum(boost_amt, C.BOOST_MAX)
+
+    accel_mag = jnp.where(st['is_on_ground'], mut.boost_accel_ground,
+                          mut.boost_accel_air)
+    fwd = cv.forward(st['rot'])
+    accel = vwhere(active, vscale(fwd, accel_mag), vzero(tsb))
+    return dict(boost=boost_amt, time_spent_boosting=tsb), accel
+
+
+# ---------------------------------------------------------------------------
+# Contacts (twins of physics/contacts.py)
+
+def _slot_const(values, sample):
+    """Per-car-slot constant broadcast against (C,)+S arrays."""
+    a = np.asarray(values, np.float32).reshape(
+        (len(values),) + (1,) * (sample.ndim - 1))
+    return jnp.asarray(a)
+
+
+def _resolve_car_world(k: TickConsts, st, inv_iw):
+    """contacts.resolve_car_world (corner-centroid per plane).
+    Returns (dvel Vec uu, dang Vec, push Vec uu, has_contact, normal Vec)."""
+    mut = k.mut
+    inv_mass = 1.0 / mut.car_mass
+    valid = _plane_validity(k, st['pos'])
+
+    # 8 hitbox corners in world frame (corners_local includes the offset)
+    corners = [vadd(st['pos'], cv.matvec(st['rot'],
+                                         cv.vconst(cl, st['pos'][0])))
+               for cl in k.corners_local]
+
+    zero = jnp.zeros_like(st['pos'][0])
+    dvel = vzero(zero)
+    dang = vzero(zero)
+    push = vzero(zero)
+    nsum = vzero(zero)
+    has_contact = jnp.zeros_like(st['is_on_ground'])
+
+    vel_bt = vscale(st['vel'], C.UU_TO_BT)
+    for p, plane in enumerate(k.planes):
+        pn = plane[:3]
+        ncont = zero
+        cx, cy, cz = zero, zero, zero
+        max_depth = zero
+        for corner in corners:
+            d = _plane_dist(plane, corner)
+            pen = -d
+            act = pen > 0 if valid[p] is True else valid[p] & (pen > 0)
+            actf = act.astype(zero.dtype)
+            ncont = ncont + actf
+            cx = cx + actf * corner[0]
+            cy = cy + actf * corner[1]
+            cz = cz + actf * corner[2]
+            max_depth = jnp.maximum(max_depth, jnp.where(act, pen, 0.0))
+        plane_active = ncont > 0
+        inv_n = 1.0 / jnp.maximum(ncont, 1.0)
+        centroid = (cx * inv_n, cy * inv_n, cz * inv_n)
+
+        n = cv.vconst(pn, zero)
+        r_bt = vscale(vsub(centroid, st['pos']), C.UU_TO_BT)
+        dv_bt, dw, _ = _contact_vs_static(
+            vel_bt, st['ang_vel'], r_bt, n, inv_mass, inv_iw,
+            mut.car_world_restitution, mut.car_world_friction)
+
+        dvel = vadd(dvel, vwhere(plane_active, dv_bt, vzero(zero)))
+        dang = vadd(dang, vwhere(plane_active, dw, vzero(zero)))
+        push_p = vscale(n, max_depth * C.SOLVER_ERP2)
+        push = vadd(push, vwhere(plane_active, push_p, vzero(zero)))
+        nsum = vadd(nsum, vwhere(plane_active, n, vzero(zero)))
+        has_contact = has_contact | plane_active
+
+    normal = vwhere(has_contact, vnormalize(nsum), vzero(zero))
+    return (vscale(dvel, C.BT_TO_UU), dang, push, has_contact, normal)
+
+
+def _resolve_ball_world(k: TickConsts, ball_pos, ball_vel, ball_ang_vel):
+    """contacts.resolve_ball_world: (dvel uu, dang, push uu, touching)."""
+    mut = k.mut
+    radius = mut.ball_radius
+    valid = _plane_validity(k, ball_pos)
+    zero = jnp.zeros_like(ball_pos[0])
+
+    num = zero
+    navg = vzero(zero)
+    dsum = zero
+    max_depth = zero
+    for p, plane in enumerate(k.planes):
+        dist = _plane_dist(plane, ball_pos)
+        depth = radius - dist
+        act = depth > 0 if valid[p] is True else valid[p] & (depth > 0)
+        actf = act.astype(zero.dtype)
+        num = num + actf
+        navg = vadd(navg, vscale(cv.vconst(plane[:3], zero), actf))
+        dsum = dsum + actf * (radius - jnp.maximum(depth, 0.0)) * C.UU_TO_BT
+        max_depth = jnp.maximum(max_depth, jnp.where(act, depth, 0.0))
+    touching = num > 0
+    inv_n = 1.0 / jnp.maximum(num, 1.0)
+    navg = vscale(navg, inv_n)
+    dist = dsum * inv_n
+    r_bt = vscale(navg, -dist)
+
+    ball_inv_mass = 1.0 / mut.ball_mass
+    inertia = 0.4 * mut.ball_mass * (radius * C.UU_TO_BT) ** 2
+    s = 1.0 / inertia
+    inv_iw = ((s, 0.0, 0.0), (0.0, s, 0.0), (0.0, 0.0, s))
+
+    restitution = max(mut.ball_world_restitution, C.WORLD_RESTITUTION)
+    friction = min(mut.ball_world_friction, C.WORLD_FRICTION)
+
+    dv_bt, dw, _ = _contact_vs_static(
+        vscale(ball_vel, C.UU_TO_BT), ball_ang_vel, r_bt, navg,
+        ball_inv_mass, inv_iw, restitution, friction)
+
+    push = vscale(navg, max_depth * C.SOLVER_ERP2)
+    z = vzero(zero)
+    return (vwhere(touching, vscale(dv_bt, C.BT_TO_UU), z),
+            vwhere(touching, dw, z), vwhere(touching, push, z), touching)
+
+
+def _resolve_car_ball(k: TickConsts, st, ball_pos, ball_vel, ball_ang_vel,
+                      tick_count, inv_iw, alive):
+    """contacts.resolve_car_ball.  Ball quantities are env-shaped and
+    broadcast against the (C,)+S car arrays.
+
+    Returns (car_dv, car_dw, ball_dv, ball_dw, ball_cache_dv, hit_updates,
+    touched)."""
+    mut = k.mut
+    he = k.half_extents
+    box_center = vadd(st['pos'], cv.matvec(st['rot'],
+                                           cv.vconst(k.hitbox_offset,
+                                                     st['pos'][0])))
+    # closest point on box to ball center
+    local = cv.mat_t_vec(st['rot'], vsub(ball_pos, box_center))
+    clamped = (jnp.clip(local[0], -he[0], he[0]),
+               jnp.clip(local[1], -he[1], he[1]),
+               jnp.clip(local[2], -he[2], he[2]))
+    closest = vadd(box_center, cv.matvec(st['rot'], clamped))
+    delta = vsub(ball_pos, closest)
+    dist = vnorm(delta)
+    touching = (dist < mut.ball_radius) & alive
+    n = vwhere(dist > 1e-6, vnormalize(delta),
+               vnormalize(vsub(ball_pos, box_center)))
+
+    car_inv_mass = 1.0 / mut.car_mass
+    ball_inv_mass = 1.0 / mut.ball_mass
+    inertia_ball = 0.4 * mut.ball_mass * (mut.ball_radius * C.UU_TO_BT) ** 2
+    s = 1.0 / inertia_ball
+    iw_ball = ((s, 0.0, 0.0), (0.0, s, 0.0), (0.0, 0.0, s))
+
+    r_car = vscale(vsub(closest, st['pos']), C.UU_TO_BT)
+    r_ball = vscale(vsub(closest, ball_pos), C.UU_TO_BT)
+
+    v_car = vadd(vscale(st['vel'], C.UU_TO_BT), vcross(st['ang_vel'], r_car))
+    v_ball = vadd(vscale(ball_vel, C.UU_TO_BT), vcross(ball_ang_vel, r_ball))
+    rel_vel = vdot(n, vsub(v_ball, v_car))
+
+    ta_car = _iw_vec(inv_iw, vcross(r_car, n))
+    ta_ball = _iw_vec(iw_ball, vcross(r_ball, n))
+    denom = (car_inv_mass + ball_inv_mass
+             + vdot(n, vcross(ta_car, r_car))
+             + vdot(n, vcross(ta_ball, r_ball)))
+
+    j_n = jnp.maximum(-rel_vel / jnp.maximum(denom, 1e-12), 0.0)
+    j_n = jnp.where(touching, j_n, 0.0)
+    imp = vscale(n, j_n)
+
+    v_ball2 = vadd(v_ball, vscale(imp, ball_inv_mass),
+                   vcross(_iw_vec(iw_ball, vcross(r_ball, imp)), r_ball))
+    v_car2 = vadd(v_car, vscale(imp, -car_inv_mass),
+                  vcross(_iw_vec(inv_iw, vcross(r_car, cv.vneg(imp))), r_car))
+    rel_t = vsub(v_ball2, v_car2)
+    rel_t = vsub(rel_t, vscale(n, vdot(n, rel_t)))
+    t_len = vnorm(rel_t)
+    t_dir = vwhere(t_len > 1e-9,
+                   vscale(rel_t, 1.0 / jnp.maximum(t_len, 1e-9)),
+                   vzero(t_len))
+    tt_car = _iw_vec(inv_iw, vcross(r_car, t_dir))
+    tt_ball = _iw_vec(iw_ball, vcross(r_ball, t_dir))
+    t_denom = (car_inv_mass + ball_inv_mass
+               + vdot(t_dir, vcross(tt_car, r_car))
+               + vdot(t_dir, vcross(tt_ball, r_ball)))
+    j_t = -vdot(t_dir, vsub(v_ball2, v_car2)) / jnp.maximum(t_denom, 1e-12)
+    mu = C.CARBALL_COLLISION_FRICTION
+    j_t = jnp.clip(j_t, -mu * j_n, mu * j_n)
+    imp_total = vadd(imp, vscale(t_dir, j_t))
+
+    def car_sum(vec):
+        return tuple(jnp.sum(c, axis=0) for c in vec)
+
+    imp_masked = vwhere(touching, imp_total, vzero(j_n))
+    ball_dv = vscale(car_sum(imp_masked), ball_inv_mass * C.BT_TO_UU)
+    ball_dw = _iw_vec(iw_ball, car_sum(vwhere(touching,
+                                              vcross(r_ball, imp_total),
+                                              vzero(j_n))))
+    car_dv = vscale(vwhere(touching, cv.vneg(imp_total), vzero(j_n)),
+                    car_inv_mass * C.BT_TO_UU)
+    car_dw = _iw_vec(inv_iw, vwhere(touching, vcross(r_car, cv.vneg(imp_total)),
+                                    vzero(j_n)))
+
+    # --- Psyonix extra impulse (Arena.cpp:304-331)
+    can_extra = touching & (
+        (tick_count > st['ball_hit_extra_impulse_tick'] + 1)
+        | (st['ball_hit_extra_impulse_tick'] > tick_count))
+    rel_pos = vsub(ball_pos, st['pos'])
+    rel_v = vsub(ball_vel, st['vel'])
+    rel_speed = jnp.minimum(vnorm(rel_v),
+                            C.BALL_CAR_EXTRA_IMPULSE_MAXDELTAVEL_UU)
+    z_scale = C.BALL_CAR_EXTRA_IMPULSE_Z_SCALE
+    hit_dir = vnormalize((rel_pos[0], rel_pos[1], rel_pos[2] * z_scale))
+    fwd = cv.forward(st['rot'])
+    fwd_adj = vscale(fwd, vdot(hit_dir, fwd)
+                     * (1.0 - C.BALL_CAR_EXTRA_IMPULSE_FORWARD_SCALE))
+    hit_dir = vnormalize(vsub(hit_dir, fwd_adj))
+    factor = cv.curve(C.BALL_CAR_EXTRA_IMPULSE_FACTOR_CURVE, rel_speed)
+    added_vel = vscale(hit_dir,
+                       rel_speed * factor * k.mut.ball_hit_extra_force_scale)
+    apply_extra = can_extra & (rel_speed > 0)
+    ball_cache_dv = car_sum(vwhere(apply_extra, added_vel, vzero(rel_speed)))
+
+    hit_updates = dict(
+        ball_hit_valid=jnp.where(touching, True, st['ball_hit_valid']),
+        ball_hit_rel_pos=vwhere(touching, vsub(closest, ball_pos),
+                                st['ball_hit_rel_pos']),
+        ball_hit_tick=jnp.where(touching, tick_count, st['ball_hit_tick']),
+        ball_hit_extra_impulse_tick=jnp.where(
+            can_extra, tick_count, st['ball_hit_extra_impulse_tick']),
+        ball_hit_ball_pos=vwhere(touching, cv.vbroadcast(
+            ball_pos, st['pos'][0].shape), st['ball_hit_ball_pos']),
+        ball_hit_extra_vel=vwhere(apply_extra, added_vel,
+                                  vwhere(touching, vzero(rel_speed),
+                                         st['ball_hit_extra_vel'])),
+    )
+    return car_dv, car_dw, ball_dv, ball_dw, ball_cache_dv, hit_updates, \
+        touching
+
+
+def _vslice(vec, i):
+    return (vec[0][i], vec[1][i], vec[2][i])
+
+
+def _mslice(M, i):
+    return tuple(tuple(M[r][c][i] for c in range(3)) for r in range(3))
+
+
+def _car_car(k: TickConsts, st, inv_iw, alive):
+    """contacts.car_car_interactions over static ordered pairs.
+
+    Returns (dvel (C Vec), dang, cache_dv, got_demoed, contact_updates,
+    bump_latch (4 per-car bools dict)).  All per-pair math is env-shaped."""
+    mut = k.mut
+    Cn = k.num_cars
+    he = k.half_extents
+    touch_rad = float(min(he))
+
+    box_center = vadd(st['pos'], cv.matvec(st['rot'],
+                                           cv.vconst(k.hitbox_offset,
+                                                     st['pos'][0])))
+    zeroS = jnp.zeros_like(st['pos'][0][0])
+    falseS = jnp.zeros_like(st['is_demoed'][0])
+
+    dvel = [vzero(zeroS) for _ in range(Cn)]
+    dang = [vzero(zeroS) for _ in range(Cn)]
+    cache_dv = [vzero(zeroS) for _ in range(Cn)]
+    got_demoed = [falseS for _ in range(Cn)]
+    bumped_any = [falseS for _ in range(Cn)]
+    bumped_id = [jnp.zeros_like(st['car_contact_other_id'][0])
+                 for _ in range(Cn)]
+    lat_bump = [falseS for _ in range(Cn)]
+    lat_bumped = [falseS for _ in range(Cn)]
+    lat_demo = [falseS for _ in range(Cn)]
+    lat_demoed = [falseS for _ in range(Cn)]
+
+    for i in range(Cn):
+        ci = _vslice(box_center, i)
+        Ri = _mslice(st['rot'], i)
+        iwi = _mslice(inv_iw, i)
+        pos_i = _vslice(st['pos'], i)
+        vel_i = _vslice(st['vel'], i)
+        w_i = _vslice(st['ang_vel'], i)
+        for j in range(Cn):
+            if i == j:
+                continue
+            cj = _vslice(box_center, j)
+            pos_j = _vslice(st['pos'], j)
+            vel_j = _vslice(st['vel'], j)
+            w_j = _vslice(st['ang_vel'], j)
+            iwj = _mslice(inv_iw, j)
+
+            local_j = cv.mat_t_vec(Ri, vsub(cj, ci))
+            clamped = (jnp.clip(local_j[0], -he[0], he[0]),
+                       jnp.clip(local_j[1], -he[1], he[1]),
+                       jnp.clip(local_j[2], -he[2], he[2]))
+            closest_ij = vadd(ci, cv.matvec(Ri, clamped))
+            dist = vnorm(vsub(cj, closest_ij))
+            overlap = (dist < touch_rad) & alive[i] & alive[j]
+
+            n = vnormalize(vsub(cj, ci))
+            cp = vscale(vadd(closest_ij, cj), 0.5)
+            inv_mass = 1.0 / mut.car_mass
+            r_i = vscale(vsub(cp, pos_i), C.UU_TO_BT)
+            r_j = vscale(vsub(cp, pos_j), C.UU_TO_BT)
+            v_i = vadd(vscale(vel_i, C.UU_TO_BT), vcross(w_i, r_i))
+            v_j = vadd(vscale(vel_j, C.UU_TO_BT), vcross(w_j, r_j))
+            rel_vel = vdot(n, vsub(v_j, v_i))
+            ta_i = _iw_vec(iwi, vcross(r_i, n))
+            ta_j = _iw_vec(iwj, vcross(r_j, n))
+            denom = (2 * inv_mass + vdot(n, vcross(ta_i, r_i))
+                     + vdot(n, vcross(ta_j, r_j)))
+            rest = C.CARCAR_COLLISION_RESTITUTION * -rel_vel
+            rest = jnp.where(jnp.abs(rel_vel) < 0.2, 0.0, rest)
+            rest = jnp.maximum(rest, 0.0)
+            j_n = jnp.maximum((rest - rel_vel) / jnp.maximum(denom, 1e-12),
+                              0.0)
+            j_n = jnp.where(overlap, j_n, 0.0)
+            imp = vscale(n, j_n)
+
+            dvel[j] = vadd(dvel[j], vscale(imp, inv_mass * C.BT_TO_UU))
+            dvel[i] = vadd(dvel[i], vscale(imp, -inv_mass * C.BT_TO_UU))
+            dang[j] = vadd(dang[j], _iw_vec(iwj, vcross(r_j, imp)))
+            dang[i] = vadd(dang[i], _iw_vec(iwi, vcross(r_i, cv.vneg(imp))))
+
+            # --- bump / demo (i bumps j)
+            delta_pos = vsub(pos_j, pos_i)
+            going_towards = vdot(vel_i, delta_pos) > 0
+            vel_dir = vnormalize(vel_i)
+            dir_to_other = vnormalize(delta_pos)
+            speed_towards = vdot(vel_i, dir_to_other)
+            other_away = vdot(vel_j, vel_dir)
+            in_cooldown = (st['car_contact_other_id'][i] == (j + 1)) & (
+                st['car_contact_cooldown'][i] > 0)
+            local_pt = cv.mat_t_vec(Ri, vsub(cp, pos_i))
+            hit_with_bumper = local_pt[0] > C.BUMP_MIN_FORWARD_DIST
+
+            bump = (overlap & going_towards & ~in_cooldown
+                    & (speed_towards > other_away) & hit_with_bumper)
+
+            if mut.demo_mode == "ON_CONTACT":
+                is_demo = bump
+            elif mut.demo_mode == "DISABLED":
+                is_demo = falseS
+            else:
+                is_demo = bump & st['is_supersonic'][i]
+            if not mut.enable_team_demos and k.teams[i] == k.teams[j]:
+                is_demo = falseS
+
+            plain_bump = bump & ~is_demo
+            ground_hit = st['is_on_ground'][j]
+            base_scale = jnp.where(
+                ground_hit,
+                cv.curve(C.BUMP_VEL_AMOUNT_GROUND_CURVE, speed_towards),
+                cv.curve(C.BUMP_VEL_AMOUNT_AIR_CURVE, speed_towards))
+            up_j = _vslice(cv.up(st['rot']), j)
+            hit_up_dir = vwhere(ground_hit, up_j,
+                                cv.vconst((0.0, 0.0, 1.0), zeroS))
+            bump_imp = vadd(
+                vscale(vel_dir, base_scale),
+                vscale(hit_up_dir,
+                       cv.curve(C.BUMP_UPWARD_VEL_AMOUNT_CURVE, speed_towards)
+                       * mut.bump_force_scale))
+            cache_dv[j] = vadd(cache_dv[j],
+                               vwhere(plain_bump, bump_imp, vzero(zeroS)))
+            got_demoed[j] = got_demoed[j] | is_demo
+            bumped_any[i] = bumped_any[i] | bump
+            bumped_id[i] = jnp.maximum(bumped_id[i],
+                                       jnp.where(bump, j + 1, 0))
+            if k.teams[i] != k.teams[j]:
+                lat_bump[i] = lat_bump[i] | bump
+                lat_bumped[j] = lat_bumped[j] | bump
+                lat_demo[i] = lat_demo[i] | is_demo
+                lat_demoed[j] = lat_demoed[j] | is_demo
+
+    def stack_vec(lst):
+        return tuple(jnp.stack([v[c] for v in lst], axis=0)
+                     for c in range(3))
+
+    contact_updates = dict(
+        car_contact_other_id=jnp.where(
+            jnp.stack(bumped_any, 0), jnp.stack(bumped_id, 0),
+            st['car_contact_other_id']),
+        car_contact_cooldown=jnp.where(
+            jnp.stack(bumped_any, 0), mut.bump_cooldown_time,
+            st['car_contact_cooldown']),
+    )
+    latches = dict(step_bump=jnp.stack(lat_bump, 0),
+                   step_bumped=jnp.stack(lat_bumped, 0),
+                   step_demo=jnp.stack(lat_demo, 0),
+                   step_demoed=jnp.stack(lat_demoed, 0))
+    return (stack_vec(dvel), stack_vec(dang), stack_vec(cache_dv),
+            jnp.stack(got_demoed, 0), contact_updates, latches)
+
+
+def _pads_pickup(k: TickConsts, st, pads_active, pads_cooldown, alive):
+    """step._pads_check_and_pickup: returns (pads_active, pads_cooldown,
+    new_boost)."""
+    mut = k.mut
+    Cn = k.num_cars
+    x, y, z = st['pos']
+    gained = jnp.zeros_like(st['boost'])
+    new_active = []
+    new_cd = []
+    for p in range(len(k.pad_locs)):
+        lx, ly, lz = k.pad_locs[p]
+        big = k.pad_is_big[p]
+        rad = C.BoostPads.CYL_RAD_BIG if big else C.BoostPads.CYL_RAD_SMALL
+        d2 = (x - lx) ** 2 + (y - ly) ** 2
+        colliding = (d2 < rad * rad) & (jnp.abs(z - lz)
+                                        < C.BoostPads.CYL_HEIGHT) & alive
+        pickup = colliding & pads_active[p]
+        # first (lowest-index) car wins
+        taken = jnp.zeros_like(pickup[0])
+        amount = (C.BoostPads.BOOST_AMOUNT_BIG if big
+                  else C.BoostPads.BOOST_AMOUNT_SMALL)
+        winners = []
+        for c in range(Cn):
+            win = pickup[c] & ~taken
+            taken = taken | pickup[c]
+            winners.append(win)
+        gained = gained + jnp.stack(winners, 0).astype(gained.dtype) * amount
+        any_pickup = taken
+        cd_new = (mut.boost_pad_cooldown_big if big
+                  else mut.boost_pad_cooldown_small)
+        new_active.append(pads_active[p] & ~any_pickup)
+        new_cd.append(jnp.where(any_pickup, cd_new, pads_cooldown[p]))
+    new_boost = jnp.minimum(st['boost'] + gained, C.BOOST_MAX)
+    return jnp.stack(new_active, 0), jnp.stack(new_cd, 0), new_boost
+
+
+def _respawn(k: TickConsts, st, mask, respawn_idx):
+    """step._respawn_cars on the component state (in place via wheres)."""
+    mut = k.mut
+    zero = jnp.zeros_like(st['pos'][0])
+    sx = zero
+    sy = zero
+    syaw = zero
+    for kk, (tx, ty, tyaw) in enumerate(k.respawn_table):
+        sel = respawn_idx == kk
+        sx = jnp.where(sel, tx, sx)
+        sy = jnp.where(sel, ty, sy)
+        syaw = jnp.where(sel, tyaw, syaw)
+    team_sign = _slot_const([1.0 if t == 0 else -1.0 for t in k.teams], zero)
+    yaw_off = _slot_const([0.0 if t == 0 else np.pi for t in k.teams], zero)
+    pos = (sx, sy * team_sign, jnp.full_like(zero, C.CAR_RESPAWN_Z))
+    rot = cv.yaw_mat(syaw + yaw_off)
+
+    def w(field, new):
+        return jnp.where(mask, new, field)
+
+    def wv(field, new):
+        return vwhere(mask, new, field)
+
+    st = dict(st)
+    st['pos'] = wv(st['pos'], pos)
+    st['rot'] = cv.mwhere(mask, rot, st['rot'])
+    st['vel'] = wv(st['vel'], vzero(zero))
+    st['ang_vel'] = wv(st['ang_vel'], vzero(zero))
+    st['is_on_ground'] = w(st['is_on_ground'], jnp.ones_like(mask))
+    st['wheels_with_contact'] = [w(c, jnp.zeros_like(mask))
+                                 for c in st['wheels_with_contact']]
+    for f in ('has_jumped', 'has_double_jumped', 'has_flipped', 'is_flipping',
+              'is_jumping', 'is_supersonic', 'is_auto_flipping',
+              'has_world_contact', 'is_demoed'):
+        st[f] = w(st[f], jnp.zeros_like(mask))
+    st['flip_rel_torque'] = wv(st['flip_rel_torque'], vzero(zero))
+    st['world_contact_normal'] = wv(st['world_contact_normal'], vzero(zero))
+    for f in ('jump_time', 'flip_time', 'air_time', 'air_time_since_jump',
+              'time_spent_boosting', 'supersonic_time', 'handbrake_val',
+              'auto_flip_timer', 'auto_flip_torque_scale',
+              'car_contact_cooldown', 'demo_respawn_timer'):
+        st[f] = w(st[f], zero)
+    st['boost'] = w(st['boost'], jnp.full_like(zero,
+                                               mut.car_spawn_boost_amount))
+    st['car_contact_other_id'] = w(st['car_contact_other_id'],
+                                   jnp.zeros_like(st['car_contact_other_id']))
+    return st
+
+
+# ---------------------------------------------------------------------------
+# The tick (twin of step.arena_tick) and the multi-tick step loop
+
+# Keys of per-car state (everything restored from the frozen snapshot for
+# cars that were demolished at tick start), including the wheel-drive
+# sub-dict ('wc').
+CAR_KEYS = (
+    'pos', 'rot', 'vel', 'ang_vel', 'is_on_ground', 'wheels_with_contact',
+    'has_jumped', 'has_double_jumped', 'has_flipped', 'flip_rel_torque',
+    'jump_time', 'flip_time', 'is_flipping', 'is_jumping', 'air_time',
+    'air_time_since_jump', 'boost', 'time_spent_boosting', 'is_supersonic',
+    'supersonic_time', 'handbrake_val', 'is_auto_flipping', 'auto_flip_timer',
+    'auto_flip_torque_scale', 'has_world_contact', 'world_contact_normal',
+    'car_contact_other_id', 'car_contact_cooldown', 'is_demoed',
+    'demo_respawn_timer', 'ball_hit_valid', 'ball_hit_rel_pos',
+    'ball_hit_tick', 'ball_hit_extra_impulse_tick', 'ball_hit_ball_pos',
+    'ball_hit_extra_vel', 'last_controls', 'controls', 'wc')
+
+
+def _clamp_controls(controls):
+    """step.clamp_controls on a tuple of 8 arrays."""
+    out = [jnp.clip(c, -1.0, 1.0) for c in controls[:5]]
+    out += [(c > 0).astype(c.dtype) for c in controls[5:]]
+    return tuple(out)
+
+
+def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
+    """One 1/120 s physics tick on the component state dict."""
+    mut, dt, Cn = k.mut, k.dt, k.num_cars
+    st = dict(st)
+
+    controls = _clamp_controls(st['controls'])
+    st['controls'] = controls
+
+    # --- demo / respawn (Car.cpp:68-87)
+    demo_timer = jnp.where(st['is_demoed'],
+                           jnp.maximum(st['demo_respawn_timer'] - dt, 0.0),
+                           st['demo_respawn_timer'])
+    respawn_now = st['is_demoed'] & (demo_timer == 0.0)
+    st['demo_respawn_timer'] = demo_timer
+    st = _respawn(k, st, respawn_now, respawn_idx)
+    alive = ~st['is_demoed']
+    frozen = {key: st[key] for key in CAR_KEYS}
+
+    inv_iw = cv.inv_inertia_world(st['rot'], k.inv_i_local)
+
+    # --- updateVehicleFirst: raycasts + stale friction impulses
+    rc = _wheel_raycasts(k, st, inv_iw)
+    wheel_impulses = _calc_friction_impulses(k, st, rc, st['wc'], inv_iw)
+
+    num_contact = sum(h.astype(jnp.int32) for h in rc['hit'])
+    st['wheels_with_contact'] = list(rc['hit'])
+    st['is_on_ground'] = num_contact >= 3
+
+    jump_pressed = (controls[JUMP] > 0) & ~(st['last_controls'][JUMP] > 0)
+    fwd_speed = vdot(st['vel'], cv.forward(st['rot']))
+
+    # --- _UpdateWheels
+    new_wc, hb_val, sticky_accel, real_throttle = _update_wheels(
+        k, st, rc, st['wc'], controls, fwd_speed, num_contact)
+    st['handbrake_val'] = hb_val
+    st['wc'] = new_wc
+
+    # --- air torque / flipping clear
+    air_mask = num_contact < 3
+    zero_wheels = num_contact == 0
+    air_ang_accel, air_accel, is_flipping = _update_air_torque(
+        k, st, controls, air_mask, zero_wheels)
+    st['is_flipping'] = jnp.where(air_mask, is_flipping, False)
+
+    # --- jump
+    jump_updates, jump_dv, jump_accel = _update_jump(k, st, controls,
+                                                     jump_pressed)
+    st['vel'] = vadd(st['vel'], jump_dv)
+    st.update(jump_updates)
+
+    # --- auto flip
+    af_updates, af_dv, af_dw = _update_auto_flip(k, st, controls,
+                                                 jump_pressed)
+    st['vel'] = vadd(st['vel'], af_dv)
+    st['ang_vel'] = vadd(st['ang_vel'], af_dw)
+    st.update(af_updates)
+
+    # --- double jump / flip
+    dj_updates, dj_dv, zdamp_maybe, zdamp_always = \
+        _update_double_jump_or_flip(
+            k, st, controls, jump_pressed, fwd_speed,
+            st['is_jumping'], st['has_jumped'], st['jump_time'],
+            st['is_flipping'])
+    vel = vadd(st['vel'], dj_dv)
+    do_damp = zdamp_always | (zdamp_maybe & (vel[2] < 0))
+    damp_factor = (1.0 - C.FLIP_Z_DAMP_120) ** (dt * 120.0)
+    vel = (vel[0], vel[1], vel[2] * jnp.where(do_damp, damp_factor, 1.0))
+    st['vel'] = vel
+    st.update(dj_updates)
+
+    # --- auto roll
+    ar_cond = (controls[THROTTLE] != 0) & (
+        ((num_contact > 0) & (num_contact < 4)) | st['has_world_contact'])
+    ar_accel, ar_ang_accel = _update_auto_roll(k, st, rc, num_contact)
+    ar_accel = vwhere(ar_cond, ar_accel, vzero(ar_accel[0]))
+    ar_ang_accel = vwhere(ar_cond, ar_ang_accel, vzero(ar_ang_accel[0]))
+
+    st['has_world_contact'] = jnp.zeros_like(alive)
+
+    # --- updateVehicleSecond: suspension + friction application
+    vel, ang_vel = _apply_suspension(k, st, rc, inv_iw)
+    st['vel'], st['ang_vel'] = vel, ang_vel
+    vel, ang_vel = _apply_friction_impulses(k, st, rc, wheel_impulses, inv_iw)
+    st['vel'], st['ang_vel'] = vel, ang_vel
+
+    # --- boost
+    boost_updates, boost_accel = _update_boost(k, st, controls)
+    st.update(boost_updates)
+
+    # --- boost pad pre-tick
+    pads_cd = jnp.maximum(st['pads_cooldown'] - dt, 0.0)
+    st['pads_cooldown'] = pads_cd
+    st['pads_active'] = pads_cd == 0.0
+
+    # ===================== World step ======================================
+    gravity = (0.0, 0.0, mut.gravity_z)
+
+    total_accel = vadd(cv.vconst(gravity, sticky_accel[0]), sticky_accel,
+                       air_accel, jump_accel, ar_accel, boost_accel)
+    total_ang_accel = vadd(air_ang_accel, ar_ang_accel)
+    st['vel'] = vadd(st['vel'], vscale(total_accel, dt))
+    st['ang_vel'] = vadd(st['ang_vel'], vscale(total_ang_accel, dt))
+
+    # Ball: sleeping + gravity + drag
+    bvel, bang = st['ball_vel'], st['ball_ang_vel']
+    ball_awake = (vnorm(bvel) > 0) | (vnorm(bang) > 0)
+    drag = (1.0 - mut.ball_drag) ** dt
+    st['ball_vel'] = vwhere(
+        ball_awake,
+        vscale(vadd(bvel, vscale(cv.vconst(gravity, bvel[0]), dt)), drag),
+        bvel)
+
+    # --- car-world
+    cw_dv, cw_dw, cw_push, cw_contact, cw_normal = _resolve_car_world(
+        k, st, inv_iw)
+    st['vel'] = vadd(st['vel'], cw_dv)
+    st['ang_vel'] = vadd(st['ang_vel'], cw_dw)
+    st['has_world_contact'] = cw_contact
+    st['world_contact_normal'] = vwhere(cw_contact, cw_normal,
+                                        st['world_contact_normal'])
+
+    # --- car-ball (+psyonix impulse cache)
+    cb_car_dv, cb_car_dw, cb_ball_dv, cb_ball_dw, ball_cache_dv, \
+        hit_updates, _ = _resolve_car_ball(
+            k, st, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'],
+            st['tick_count'], inv_iw, alive)
+    st['vel'] = vadd(st['vel'], cb_car_dv)
+    st['ang_vel'] = vadd(st['ang_vel'], cb_car_dw)
+    st.update(hit_updates)
+    st['ball_vel'] = vadd(st['ball_vel'], cb_ball_dv)
+    st['ball_ang_vel'] = vadd(st['ball_ang_vel'], cb_ball_dw)
+
+    # --- ball-world
+    bw_dv, bw_dw, bw_push, _ = _resolve_ball_world(
+        k, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'])
+    st['ball_vel'] = vadd(st['ball_vel'], bw_dv)
+    st['ball_ang_vel'] = vadd(st['ball_ang_vel'], bw_dw)
+
+    # --- car-car (+bump/demo)
+    if Cn > 1:
+        cc_dv, cc_dw, cc_cache_dv, got_demoed, cc_updates, latches = \
+            _car_car(k, st, inv_iw, alive)
+        st['vel'] = vadd(st['vel'], cc_dv)
+        st['ang_vel'] = vadd(st['ang_vel'], cc_dw)
+        st.update(cc_updates)
+        st['is_demoed'] = st['is_demoed'] | got_demoed
+        st['demo_respawn_timer'] = jnp.where(got_demoed, mut.respawn_delay,
+                                             st['demo_respawn_timer'])
+    else:
+        cc_cache_dv = vzero(st['vel'][0])
+        latches = None
+
+    # --- integrate transforms
+    st['pos'] = vadd(st['pos'], vscale(st['vel'], dt), cw_push)
+    st['rot'] = cv.integrate_rotation(st['rot'], st['ang_vel'], dt)
+    ball_awake = (vnorm(st['ball_vel']) > 0) | (vnorm(st['ball_ang_vel']) > 0)
+    st['ball_pos'] = vwhere(
+        ball_awake,
+        vadd(st['ball_pos'], vscale(st['ball_vel'], dt), bw_push),
+        st['ball_pos'])
+    st['ball_rot'] = cv.mwhere(
+        ball_awake,
+        cv.integrate_rotation(st['ball_rot'], st['ball_ang_vel'], dt),
+        st['ball_rot'])
+
+    # ===================== Post-tick + finish ==============================
+    speed_sq = cv.vnorm2(st['vel'])
+    maintain = st['is_supersonic'] & (
+        st['supersonic_time'] < C.SUPERSONIC_MAINTAIN_MAX_TIME)
+    thresh = jnp.where(maintain, C.SUPERSONIC_MAINTAIN_MIN_SPEED,
+                       C.SUPERSONIC_START_SPEED)
+    is_ss = speed_sq >= thresh * thresh
+    st['is_supersonic'] = is_ss
+    st['supersonic_time'] = jnp.where(is_ss, st['supersonic_time'] + dt, 0.0)
+    st['car_contact_cooldown'] = jnp.maximum(
+        st['car_contact_cooldown'] - dt, 0.0)
+    st['last_controls'] = controls
+
+    st['vel'] = cv.vclamp_norm(vadd(st['vel'], cc_cache_dv), C.CAR_MAX_SPEED)
+    st['ang_vel'] = cv.vclamp_norm(st['ang_vel'], C.CAR_MAX_ANG_SPEED)
+
+    st['ball_vel'] = cv.vclamp_norm(vadd(st['ball_vel'], ball_cache_dv),
+                                    mut.ball_max_speed)
+    st['ball_ang_vel'] = cv.vclamp_norm(st['ball_ang_vel'],
+                                        C.BALL_MAX_ANG_SPEED)
+
+    # --- restore frozen state for cars demoed at tick start
+    car_now = {key: st[key] for key in CAR_KEYS}
+    car_sel = jax.tree.map(lambda u, f: jnp.where(alive, u, f),
+                           car_now, frozen)
+    st.update(car_sel)
+
+    # --- boost pad pickup
+    pa, pc, new_boost = _pads_pickup(k, st, st['pads_active'],
+                                     st['pads_cooldown'], alive)
+    st['pads_active'], st['pads_cooldown'] = pa, pc
+    st['boost'] = new_boost
+
+    goal = jnp.abs(st['ball_pos'][1]) > (mut.goal_base_threshold_y
+                                         + mut.ball_radius)
+    st['goal_scored'] = st['goal_scored'] | goal
+    if latches is not None:
+        for f in ('step_bump', 'step_bumped', 'step_demo', 'step_demoed'):
+            st[f] = st[f] | latches[f]
+    st['tick_count'] = st['tick_count'] + 1
+    return st
+
+
+def step(k: TickConsts, st: dict, new_controls, respawn_idx,
+         tick_skip: int = 8, action_delay: int = 7) -> dict:
+    """Multi-tick env step with action delay (twin of step.arena_step).
+    ``new_controls``: tuple of 8 (C,)+S arrays; ``respawn_idx``: (C,)+S i32
+    (one pre-drawn respawn-location index per car for this step)."""
+    st = dict(st)
+    st['goal_scored'] = jnp.zeros_like(st['goal_scored'])
+    for f in ('step_bump', 'step_bumped', 'step_demo', 'step_demoed'):
+        st[f] = jnp.zeros_like(st[f])
+
+    def body(i, carry):
+        sw = i == action_delay
+        carry = dict(carry)
+        carry['controls'] = tuple(
+            jnp.where(sw, new_controls[c], carry['controls'][c])
+            for c in range(8))
+        return tick(k, carry, respawn_idx)
+
+    return jax.lax.fori_loop(0, tick_skip, body, st)

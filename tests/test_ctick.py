@@ -1,0 +1,205 @@
+"""The component-form tick (ops/ctick, the megakernel body) reproduces the
+XLA physics path (physics/step.arena_step) trajectory-for-trajectory."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reinforcement_learning_tpu import constants as C
+from reinforcement_learning_tpu import maths as m
+from reinforcement_learning_tpu.ops import ctick, pack
+from reinforcement_learning_tpu.physics import step as stepmod
+from reinforcement_learning_tpu.physics.state import NUM_CONTROLS
+
+E, CARS = 8, 4
+TEAMS = jnp.array([0, 0, 1, 1])
+
+
+def _params():
+    return stepmod.ArenaParams(num_cars=CARS)
+
+
+def _random_phys(key, params, airborne=False):
+    """Batched random-but-plausible state; cars spread apart (no demos)."""
+    ks = jax.random.split(key, 8)
+    phys = jax.vmap(lambda _: stepmod.make_physics_state(params))(
+        jnp.arange(E))
+    cars = phys.arena.cars
+
+    grid = jnp.asarray(
+        [[-2000.0, -2000.0], [2000.0, -2000.0],
+         [-2000.0, 2000.0], [2000.0, 2000.0]], jnp.float32)
+    jitter = jax.random.uniform(ks[0], (E, CARS, 2), minval=-300, maxval=300)
+    xy = grid[None] + jitter
+    if airborne:
+        z = jax.random.uniform(ks[1], (E, CARS), minval=200.0, maxval=900.0)
+        vel = jax.random.uniform(ks[2], (E, CARS, 3), minval=-800, maxval=800)
+        ang_vel = jax.random.uniform(ks[3], (E, CARS, 3), minval=-3, maxval=3)
+    else:
+        z = jnp.full((E, CARS), C.CAR_SPAWN_REST_Z)
+        v2 = jax.random.uniform(ks[2], (E, CARS, 2), minval=-700, maxval=700)
+        vel = jnp.concatenate([v2, jnp.zeros((E, CARS, 1))], axis=-1)
+        ang_vel = jnp.zeros((E, CARS, 3))
+    pos = jnp.concatenate([xy, z[..., None]], axis=-1)
+
+    yaw = jax.random.uniform(ks[4], (E, CARS), minval=-3.1, maxval=3.1)
+    if airborne:
+        pitch = jax.random.uniform(ks[5], (E, CARS), minval=-1.2, maxval=1.2)
+        roll = jax.random.uniform(ks[6], (E, CARS), minval=-3.0, maxval=3.0)
+    else:
+        pitch = roll = jnp.zeros((E, CARS))
+    rot = m.euler_to_rotmat(yaw, pitch, roll)
+
+    cars = cars.replace(pos=pos, vel=vel, ang_vel=ang_vel, rot=rot,
+                        boost=jax.random.uniform(ks[7], (E, CARS),
+                                                 minval=0, maxval=100))
+    ball_pos = jnp.stack([
+        jax.random.uniform(ks[0], (E,), minval=-3000, maxval=3000),
+        jax.random.uniform(ks[1], (E,), minval=-4000, maxval=4000),
+        jax.random.uniform(ks[2], (E,), minval=C.BALL_REST_Z, maxval=1500),
+    ], axis=-1)
+    ball_vel = jax.random.uniform(ks[3], (E, 3), minval=-1200, maxval=1200)
+    ball = phys.arena.ball.replace(pos=ball_pos, vel=ball_vel,
+                                   ang_vel=jax.random.uniform(
+                                       ks[4], (E, 3), minval=-4, maxval=4))
+    return phys.replace(arena=phys.arena.replace(cars=cars, ball=ball))
+
+
+def _random_controls(key):
+    analog = jax.random.uniform(key, (E, CARS, 5), minval=-1, maxval=1)
+    buttons = (jax.random.uniform(key, (E, CARS, 3)) > 0.5).astype(
+        jnp.float32)
+    return jnp.concatenate([analog, buttons], axis=-1)
+
+
+def _run_xla(phys, new_controls, params, key):
+    keys = jax.random.split(key, E)
+    fn = jax.vmap(lambda p, c, k: stepmod.arena_step(
+        p, c, TEAMS, k, params, 8, 7))
+    return fn(phys, new_controls, keys)
+
+
+def _run_ctick(phys, new_controls, params):
+    k = ctick.make_consts(params, np.asarray(TEAMS))
+    d = pack.to_components(phys)
+    nc = tuple(jnp.swapaxes(new_controls[..., c], 0, 1) for c in range(8))
+    ridx = jnp.zeros((CARS, E), jnp.int32)
+    out = ctick.step(k, d, nc, ridx, 8, 7)
+    return pack.from_components(out, E)
+
+
+def _assert_close(a: stepmod.PhysicsState, b: stepmod.PhysicsState):
+    ca, cb = a.arena.cars, b.arena.cars
+    np.testing.assert_allclose(ca.pos, cb.pos, atol=0.1, rtol=1e-4)
+    np.testing.assert_allclose(ca.vel, cb.vel, atol=0.2, rtol=1e-4)
+    np.testing.assert_allclose(ca.ang_vel, cb.ang_vel, atol=0.02, rtol=1e-4)
+    np.testing.assert_allclose(ca.rot, cb.rot, atol=1e-4)
+    np.testing.assert_allclose(ca.boost, cb.boost, atol=1e-4)
+    np.testing.assert_allclose(ca.jump_time, cb.jump_time, atol=1e-6)
+    np.testing.assert_allclose(ca.handbrake_val, cb.handbrake_val, atol=1e-6)
+    assert bool(jnp.all(ca.is_on_ground == cb.is_on_ground))
+    assert bool(jnp.all(ca.is_jumping == cb.is_jumping))
+    assert bool(jnp.all(ca.has_jumped == cb.has_jumped))
+    assert bool(jnp.all(ca.has_flipped == cb.has_flipped))
+    assert bool(jnp.all(ca.is_supersonic == cb.is_supersonic))
+    assert bool(jnp.all(ca.ball_hit_valid == cb.ball_hit_valid))
+    np.testing.assert_allclose(a.arena.ball.pos, b.arena.ball.pos,
+                               atol=0.1, rtol=1e-4)
+    np.testing.assert_allclose(a.arena.ball.vel, b.arena.ball.vel,
+                               atol=0.2, rtol=1e-4)
+    np.testing.assert_allclose(a.arena.ball.ang_vel, b.arena.ball.ang_vel,
+                               atol=0.02, rtol=1e-4)
+    assert bool(jnp.all(a.arena.pads.is_active == b.arena.pads.is_active))
+    np.testing.assert_allclose(a.arena.pads.cooldown, b.arena.pads.cooldown,
+                               atol=1e-5)
+    assert bool(jnp.all(a.arena.tick_count == b.arena.tick_count))
+    assert bool(jnp.all(a.arena.goal_scored == b.arena.goal_scored))
+    np.testing.assert_allclose(a.wheels.steer_angle, b.wheels.steer_angle,
+                               atol=1e-5)
+    np.testing.assert_allclose(a.wheels.lat_friction, b.wheels.lat_friction,
+                               atol=1e-4)
+
+
+def test_pack_roundtrip():
+    params = _params()
+    phys = _random_phys(jax.random.PRNGKey(0), params, airborne=True)
+    d = pack.to_components(phys)
+    back = pack.from_components(d, E)
+    jax.tree.map(lambda x, y: np.testing.assert_array_equal(x, y),
+                 phys, back)
+
+
+def test_pack_roundtrip_tiled():
+    """Kernel layout S=(T, L) roundtrips too."""
+    params = _params()
+    phys = _random_phys(jax.random.PRNGKey(1), params)
+    d = pack.to_components(phys, S=(2, 4))
+    back = pack.from_components(d, E)
+    jax.tree.map(lambda x, y: np.testing.assert_array_equal(x, y),
+                 phys, back)
+
+
+@pytest.mark.parametrize("airborne", [False, True])
+def test_ctick_matches_xla_step(airborne):
+    params = _params()
+    key = jax.random.PRNGKey(42 if airborne else 7)
+    phys = _random_phys(key, params, airborne=airborne)
+    new_controls = _random_controls(jax.random.PRNGKey(3))
+
+    ref = _run_xla(phys, new_controls, params, jax.random.PRNGKey(9))
+    got = _run_ctick(phys, new_controls, params)
+    _assert_close(got, ref)
+
+
+def test_ctick_multi_step():
+    """Several consecutive env steps stay in lockstep (ground driving)."""
+    params = _params()
+    phys = _random_phys(jax.random.PRNGKey(5), params, airborne=False)
+    ref = phys
+    got = phys
+    for i in range(4):
+        controls = _random_controls(jax.random.PRNGKey(100 + i))
+        ref = _run_xla(ref, controls, params, jax.random.PRNGKey(200 + i))
+        got = _run_ctick(got, controls, params)
+    _assert_close(got, ref)
+
+
+def test_ctick_demo_respawn():
+    """A demoed car stays frozen and respawns at a table location."""
+    params = _params()
+    phys = _random_phys(jax.random.PRNGKey(11), params)
+    cars = phys.arena.cars
+    cars = cars.replace(
+        is_demoed=cars.is_demoed.at[:, 0].set(True),
+        demo_respawn_timer=cars.demo_respawn_timer.at[:, 0].set(2.0))
+    phys = phys.replace(arena=phys.arena.replace(cars=cars))
+    # Slot 0 gets zero controls so the respawned car doesn't immediately
+    # consume boost (boost use after respawn is correct sim behavior).
+    controls = _random_controls(jax.random.PRNGKey(12)).at[:, 0, :].set(0.0)
+
+    got = _run_ctick(phys, controls, params)
+    gc = got.arena.cars
+    # Frozen through all 8 ticks; timer ticked down by 8 dt
+    np.testing.assert_allclose(gc.pos[:, 0], phys.arena.cars.pos[:, 0],
+                               atol=1e-5)
+    np.testing.assert_allclose(gc.demo_respawn_timer[:, 0],
+                               2.0 - 8 / 120.0, atol=1e-5)
+
+    # Expire the timer: car respawns at the selected table entry
+    cars = phys.arena.cars.replace(
+        demo_respawn_timer=cars.demo_respawn_timer.at[:, 0].set(1 / 120.0))
+    phys2 = phys.replace(arena=phys.arena.replace(cars=cars))
+    k = ctick.make_consts(params, np.asarray(TEAMS))
+    d = pack.to_components(phys2)
+    nc = tuple(jnp.swapaxes(controls[..., c], 0, 1) for c in range(8))
+    ridx = jnp.full((CARS, E), 2, jnp.int32)
+    out = pack.from_components(ctick.step(k, d, nc, ridx, 8, 7), E)
+    oc = out.arena.cars
+    assert not bool(jnp.any(oc.is_demoed[:, 0]))
+    exp_x, exp_y, _ = C.CAR_RESPAWN_LOCATIONS_SOCCAR[2]
+    np.testing.assert_allclose(oc.pos[:, 0, 0], exp_x, atol=60.0)
+    np.testing.assert_allclose(jnp.abs(oc.pos[:, 0, 1]), abs(exp_y),
+                               atol=60.0)
+    np.testing.assert_allclose(oc.boost[:, 0], C.BOOST_SPAWN_AMOUNT,
+                               atol=1e-4)
