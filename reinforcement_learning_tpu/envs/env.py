@@ -49,6 +49,11 @@ class EnvConfig:
     arena: stepmod.ArenaParams = None  # filled in __post_init__
     no_touch_timeout: float = 30.0
     max_episode_seconds: float = 300.0
+    # "pallas": whole multi-tick physics step as ONE TPU megakernel
+    # (ops/pallas_step) — state stays in VMEM across ticks.  "xla": the
+    # per-arena vmapped lax.scan reference path (runs anywhere).
+    # "auto": pallas on TPU, xla elsewhere.
+    physics_backend: str = "auto"
 
     @property
     def cars_per_arena(self) -> int:
@@ -170,10 +175,17 @@ class RocketLeagueEnv:
         key, kstep, kreset = jax.random.split(state.key, 3)
         controls = self.action_parser.parse(action_idx)
 
-        prev_arena = state.phys.arena
         phys = stepmod.arena_step(
             state.phys, controls, self.teams, kstep, self.params,
             cfg.tick_skip, cfg.action_delay)
+        return self._post_physics_one(state, phys, controls, key, kreset)
+
+    def _post_physics_one(self, state: EnvState, phys, controls,
+                          key, kreset) -> tuple[EnvState, StepOutput]:
+        """Everything after the physics advance: touch attribution, events,
+        terminals, rewards, auto-reset, obs."""
+        cfg = self.config
+        prev_arena = state.phys.arena
         arena = phys.arena
 
         # Ball touch attribution (Player.cpp:18-23)
@@ -247,7 +259,42 @@ class RocketLeagueEnv:
         masks = jax.vmap(self._mask_one)(states)
         return states, obs, masks
 
+    def _use_pallas(self) -> bool:
+        b = self.config.physics_backend
+        if b == "auto":
+            try:
+                plat = jax.devices()[0].platform
+            except Exception:
+                plat = "cpu"
+            return plat not in ("cpu",)
+        return b == "pallas"
+
+    def _step_pallas(self, states: EnvState, action_idx: jnp.ndarray
+                     ) -> tuple[EnvState, StepOutput]:
+        """Batched step with the physics advance as one Pallas megakernel;
+        pre/post processing stays vmapped XLA."""
+        from reinforcement_learning_tpu.ops import pallas_step
+
+        cfg = self.config
+        P = cfg.cars_per_arena
+        ks = jax.vmap(lambda k: jax.random.split(k, 3))(states.key)
+        key, kstep, kreset = ks[:, 0], ks[:, 1], ks[:, 2]
+        controls = jax.vmap(self.action_parser.parse)(action_idx)
+        respawn_idx = jax.vmap(
+            lambda k: jax.random.randint(
+                k, (P,), 0, C.CAR_RESPAWN_LOCATION_AMOUNT))(kstep)
+        interpret = jax.devices()[0].platform == "cpu"
+        phys = pallas_step.pallas_arena_step(
+            states.phys, controls, respawn_idx,
+            params=self.params, teams=tuple(int(t) for t in self.teams_np),
+            tick_skip=cfg.tick_skip, action_delay=cfg.action_delay,
+            interpret=interpret)
+        return jax.vmap(self._post_physics_one)(states, phys, controls,
+                                                key, kreset)
+
     def step(self, states: EnvState, action_idx: jnp.ndarray
              ) -> tuple[EnvState, StepOutput]:
         """action_idx: (N, P) int32.  Returns batched (states, StepOutput)."""
+        if self._use_pallas():
+            return self._step_pallas(states, action_idx)
         return jax.vmap(self._step_one)(states, action_idx)

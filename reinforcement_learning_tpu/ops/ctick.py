@@ -485,7 +485,7 @@ def _update_air_torque(k: TickConsts, st, controls, in_air_mask, zero_wheels):
     flip_ang_accel = vwhere(is_flipping & has_rel_torque, flip_ang_accel,
                             vzero(rt[0]))
 
-    do_air_control = jnp.where(
+    do_air_control = cv.bsel(
         is_flipping, has_rel_torque & flip_cancel | ~has_rel_torque,
         jnp.ones_like(is_flipping))
     do_air_control &= ~st['is_auto_flipping']
@@ -525,7 +525,7 @@ def _update_air_torque(k: TickConsts, st, controls, in_air_mask, zero_wheels):
     ang_accel = vadd(flip_ang_accel, control_ang_accel)
     ang_accel = vwhere(in_air_mask, ang_accel, vzero(ang_accel[0]))
     accel = vwhere(in_air_mask, air_accel, vzero(air_accel[0]))
-    is_flipping = jnp.where(in_air_mask, is_flipping, False)
+    is_flipping = cv.bsel(in_air_mask, is_flipping, False)
     return ang_accel, accel, is_flipping
 
 
@@ -539,20 +539,20 @@ def _update_jump(k: TickConsts, st, controls, jump_pressed):
 
     reset_ok = on_ground & ~is_jumping & ~(
         has_jumped & (jump_time < C.JUMP_MIN_TIME + C.JUMP_RESET_TIME_PAD))
-    has_jumped = jnp.where(reset_ok, False, has_jumped)
+    has_jumped = cv.bsel(reset_ok, False, has_jumped)
     jump_time = jnp.where(reset_ok, 0.0, jump_time)
 
     cont = (jump_time < C.JUMP_MIN_TIME) | (
         (controls[JUMP] > 0) & (jump_time < C.JUMP_MAX_TIME))
     start = ~is_jumping & on_ground & jump_pressed
-    new_is_jumping = jnp.where(is_jumping, cont, start)
+    new_is_jumping = cv.bsel(is_jumping, cont, start)
     jump_time = jnp.where(start, 0.0, jump_time)
 
     upv = cv.up(st['rot'])
     dv = vwhere(start, vscale(upv, mut.jump_immediate_force),
                 vzero(jump_time))
 
-    has_jumped = jnp.where(new_is_jumping, True, has_jumped)
+    has_jumped = cv.bsel(new_is_jumping, True, has_jumped)
     accel_scale = jnp.where(jump_time < C.JUMP_MIN_TIME,
                             C.JUMP_PRE_MIN_ACCEL_SCALE, 1.0)
     accel = vwhere(new_is_jumping,
@@ -579,7 +579,7 @@ def _update_auto_flip(k: TickConsts, st, controls, jump_pressed):
                       st['auto_flip_timer'])
     scale = jnp.where(trigger, jnp.where(roll_ang > 0, 1.0, -1.0),
                       st['auto_flip_torque_scale'])
-    is_af = jnp.where(trigger, True, st['is_auto_flipping'])
+    is_af = cv.bsel(trigger, True, st['is_auto_flipping'])
 
     upv = cv.up(st['rot'])
     dv = vwhere(trigger, vscale(cv.vneg(upv), C.CAR_AUTOFLIP_IMPULSE),
@@ -592,7 +592,7 @@ def _update_auto_flip(k: TickConsts, st, controls, jump_pressed):
                 vscale(fwd, C.CAR_AUTOFLIP_TORQUE * scale * dt),
                 vzero(timer))
     timer = jnp.where(active, timer - dt, jnp.where(expired, 0.0, timer))
-    is_af = jnp.where(expired, False, is_af)
+    is_af = cv.bsel(expired, False, is_af)
     updates = dict(is_auto_flipping=is_af, auto_flip_timer=timer,
                    auto_flip_torque_scale=scale)
     return updates, dv, dw
@@ -608,8 +608,9 @@ def _update_double_jump_or_flip(k: TickConsts, st, controls, jump_pressed,
     on_ground = st['is_on_ground']
     air = ~on_ground
 
-    has_double_jumped = jnp.where(on_ground, False, st['has_double_jumped'])
-    has_flipped = jnp.where(on_ground, False, st['has_flipped'])
+    has_double_jumped = cv.bsel(on_ground, False,
+                                st['has_double_jumped'])
+    has_flipped = cv.bsel(on_ground, False, st['has_flipped'])
     air_time = jnp.where(on_ground, 0.0, st['air_time'] + dt)
     atsj = jnp.where(
         on_ground, 0.0,
@@ -626,7 +627,7 @@ def _update_double_jump_or_flip(k: TickConsts, st, controls, jump_pressed,
     fresh = ~has_double_jumped & ~has_flipped
     can_flip = fresh | mut.unlimited_flips
     can_dj = fresh | mut.unlimited_double_jumps
-    can_use = jnp.where(is_flip_input, can_flip, can_dj)
+    can_use = cv.bsel(is_flip_input, can_flip, can_dj)
     can_use &= ~st['is_auto_flipping']
 
     do_flip = press_window & can_use & is_flip_input
@@ -643,9 +644,9 @@ def _update_double_jump_or_flip(k: TickConsts, st, controls, jump_pressed,
     ddy = jnp.where(jnp.abs(dodge_dir[1]) < 0.1, 0.0, dodge_dir[1])
     nonzero_dd = (jnp.abs(ddx) > 1e-7) | (jnp.abs(ddy) > 1e-7)
 
-    backwards = jnp.where(jnp.abs(fwd_speed) < 100.0,
-                          ddx < 0.0,
-                          (ddx >= 0.0) != (fwd_speed >= 0.0))
+    backwards = cv.bsel(jnp.abs(fwd_speed) < 100.0,
+                        ddx < 0.0,
+                        (ddx >= 0.0) != (fwd_speed >= 0.0))
     ivx = ddx * C.FLIP_INITIAL_VEL_SCALE
     ivy = ddy * C.FLIP_INITIAL_VEL_SCALE
     max_x = jnp.where(backwards, C.FLIP_BACKWARD_IMPULSE_MAX_SPEED_SCALE,
@@ -665,14 +666,14 @@ def _update_double_jump_or_flip(k: TickConsts, st, controls, jump_pressed,
     flip_dv = vwhere(do_flip & nonzero_dd, flip_dv, vzero(dvx))
 
     flip_time = jnp.where(do_flip, 0.0, flip_time)
-    has_flipped = jnp.where(do_flip, True, has_flipped)
-    is_flipping = jnp.where(do_flip, True, is_flipping)
+    has_flipped = cv.bsel(do_flip, True, has_flipped)
+    is_flipping = cv.bsel(do_flip, True, is_flipping)
     frt = vwhere(do_flip, new_rel_torque, frt)
 
     # --- double jump
     upv = cv.up(st['rot'])
     dj_dv = vwhere(do_dj, vscale(upv, C.JUMP_IMMEDIATE_FORCE), vzero(dvx))
-    has_double_jumped = jnp.where(do_dj, True, has_double_jumped)
+    has_double_jumped = cv.bsel(do_dj, True, has_double_jumped)
 
     # --- flip timing + z damping
     flip_time_next = jnp.where(is_flipping | has_flipped,
@@ -750,10 +751,11 @@ def _update_boost(k: TickConsts, st, controls):
 # Contacts (twins of physics/contacts.py)
 
 def _slot_const(values, sample):
-    """Per-car-slot constant broadcast against (C,)+S arrays."""
-    a = np.asarray(values, np.float32).reshape(
-        (len(values),) + (1,) * (sample.ndim - 1))
-    return jnp.asarray(a)
+    """Per-car-slot constant as a (C,)+S array.  Built from ``sample``
+    (a traced (C,)+S array) via full_like so Pallas kernels don't capture
+    array constants."""
+    return jnp.stack([jnp.full_like(sample[0], float(v)) for v in values],
+                     axis=0)
 
 
 def _resolve_car_world(k: TickConsts, st, inv_iw):
@@ -957,7 +959,7 @@ def _resolve_car_ball(k: TickConsts, st, ball_pos, ball_vel, ball_ang_vel,
     ball_cache_dv = car_sum(vwhere(apply_extra, added_vel, vzero(rel_speed)))
 
     hit_updates = dict(
-        ball_hit_valid=jnp.where(touching, True, st['ball_hit_valid']),
+        ball_hit_valid=cv.bsel(touching, True, st['ball_hit_valid']),
         ball_hit_rel_pos=vwhere(touching, vsub(closest, ball_pos),
                                 st['ball_hit_rel_pos']),
         ball_hit_tick=jnp.where(touching, tick_count, st['ball_hit_tick']),
@@ -1182,7 +1184,7 @@ def _respawn(k: TickConsts, st, mask, respawn_idx):
     rot = cv.yaw_mat(syaw + yaw_off)
 
     def w(field, new):
-        return jnp.where(mask, new, field)
+        return cv.sel(mask, new, field)
 
     def wv(field, new):
         return vwhere(mask, new, field)
@@ -1281,7 +1283,7 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
     zero_wheels = num_contact == 0
     air_ang_accel, air_accel, is_flipping = _update_air_torque(
         k, st, controls, air_mask, zero_wheels)
-    st['is_flipping'] = jnp.where(air_mask, is_flipping, False)
+    st['is_flipping'] = cv.bsel(air_mask, is_flipping, False)
 
     # --- jump
     jump_updates, jump_dv, jump_accel = _update_jump(k, st, controls,
@@ -1427,7 +1429,7 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
 
     # --- restore frozen state for cars demoed at tick start
     car_now = {key: st[key] for key in CAR_KEYS}
-    car_sel = jax.tree.map(lambda u, f: jnp.where(alive, u, f),
+    car_sel = jax.tree.map(lambda u, f: cv.sel(alive, u, f),
                            car_now, frozen)
     st.update(car_sel)
 
@@ -1447,6 +1449,18 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
     return st
 
 
+def _bools_to_f32(st):
+    """Bool leaves -> f32 0/1 (Mosaic can't round-trip i1 through a
+    fori_loop carry: i8->i1 truncation is unsupported)."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float32) if x.dtype == jnp.bool_ else x, st)
+
+
+def _restore_bools(st, ref):
+    return jax.tree.map(
+        lambda x, r: (x != 0) if r.dtype == jnp.bool_ else x, st, ref)
+
+
 def step(k: TickConsts, st: dict, new_controls, respawn_idx,
          tick_skip: int = 8, action_delay: int = 7) -> dict:
     """Multi-tick env step with action delay (twin of step.arena_step).
@@ -1456,13 +1470,16 @@ def step(k: TickConsts, st: dict, new_controls, respawn_idx,
     st['goal_scored'] = jnp.zeros_like(st['goal_scored'])
     for f in ('step_bump', 'step_bumped', 'step_demo', 'step_demoed'):
         st[f] = jnp.zeros_like(st[f])
+    st0 = st
 
     def body(i, carry):
+        s = _restore_bools(carry, st0)
         sw = i == action_delay
-        carry = dict(carry)
-        carry['controls'] = tuple(
-            jnp.where(sw, new_controls[c], carry['controls'][c])
+        s = dict(s)
+        s['controls'] = tuple(
+            jnp.where(sw, new_controls[c], s['controls'][c])
             for c in range(8))
-        return tick(k, carry, respawn_idx)
+        return _bools_to_f32(tick(k, s, respawn_idx))
 
-    return jax.lax.fori_loop(0, tick_skip, body, st)
+    out = jax.lax.fori_loop(0, tick_skip, body, _bools_to_f32(st))
+    return _restore_bools(out, st0)

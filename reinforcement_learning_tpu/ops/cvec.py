@@ -266,3 +266,26 @@ def curve(table, x):
         seg = y0 + t * (y1 - y0)
         out = jnp.where(x >= x0, seg, out)
     return out
+
+
+def bsel(mask, a, b):
+    """Bool-valued select as pure logical ops.  Mosaic cannot lower
+    ``select_n`` on i1 vectors (it materializes an i8 operand and the
+    i8->i1 truncation is unsupported), so bool state updates use this
+    instead of jnp.where.  ``a``/``b`` may be python bools."""
+    if isinstance(a, bool):
+        t = mask if a else jnp.zeros_like(mask)
+    else:
+        t = mask & a
+    if isinstance(b, bool):
+        f = ~mask if b else jnp.zeros_like(mask)
+    else:
+        f = ~mask & b
+    return t | f
+
+
+def sel(mask, a, b):
+    """Dtype-dispatching select: bsel for bools, jnp.where otherwise."""
+    if getattr(a, 'dtype', None) == jnp.bool_:
+        return bsel(mask, a, b)
+    return jnp.where(mask, a, b)
