@@ -1,0 +1,586 @@
+"""Triangle-mesh arena collision: .cmf files, baked lookup grid, queries.
+
+The reference collides cars/balls against 16 triangle meshes loaded from
+``.cmf`` files into ``btBvhTriangleMeshShape``s (reference:
+CollisionMeshFile/CollisionMeshFile.{h,cpp}, RocketSim.cpp:102-212) and
+skips suspension raycasts using a precomputed occupancy grid (reference:
+Sim/SuspensionCollisionGrid/). A BVH walk is pointer-chasing — hostile to
+TPU. Here the one-time host-side bake replaces both structures with a
+single **uniform cell grid of padded triangle-index lists**: every query
+(sphere contact, short raycast, box contact) gathers one cell's fixed-size
+candidate list and evaluates all candidates branch-free, so lookups are
+dense gathers + vectorized math under jit.
+
+The actual game meshes are proprietary assets that ship with neither the
+reference nor this repo (the reference loads them from a user-supplied
+``collision_meshes/`` directory and verifies hashes, RocketSim.cpp:19-43).
+This module therefore provides:
+
+  * ``read_cmf``/``write_cmf``: the exact binary format (int32 tri count,
+    int32 vert count, tris as 3x int32, verts as 3x float32 —
+    CollisionMeshFile.cpp:11-61) plus ``cmf_hash`` replicating
+    ``UpdateHash`` (CollisionMeshFile.cpp:75-99) so real assets can be
+    verified and loaded when present;
+  * ``build_soccar_mesh``: a procedural standard soccar arena — octagonal
+    plan (45-degree corner walls at |x|+|y|=8064), curved floor->wall and
+    wall->ceiling transition ramps, goal openings and goal boxes — used as
+    the default asset;
+  * ``MeshGrid``: the baked device-resident structure + jit-safe queries
+    mirroring arena_geom's signatures.
+
+Queries are exact triangle tests (Ericson closest-point, Moller-Trumbore),
+not approximations; the *geometry* is the approximation when the procedural
+mesh stands in for the game asset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct as _struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reinforcement_learning_tpu import constants as C
+
+# ---------------------------------------------------------------------------
+# .cmf file I/O (reference: CollisionMeshFile.cpp:11-73)
+# ---------------------------------------------------------------------------
+
+_MAX_VERT_OR_TRI_COUNT = 1000 * 1000
+
+
+def read_cmf(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read a ``.cmf`` collision mesh. Returns (verts (V,3) f32,
+    tris (T,3) i32)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    num_tris, num_verts = _struct.unpack_from("<ii", data, 0)
+    if (min(num_tris, num_verts) <= 0
+            or max(num_tris, num_verts) > _MAX_VERT_OR_TRI_COUNT):
+        raise ValueError(f"bad triangle/vertex count [{num_tris}, "
+                         f"{num_verts}] in {path}")
+    off = 8
+    tris = np.frombuffer(data, "<i4", num_tris * 3, off).reshape(-1, 3)
+    off += num_tris * 12
+    verts = np.frombuffer(data, "<f4", num_verts * 3, off).reshape(-1, 3)
+    if tris.min() < 0 or tris.max() >= num_verts:
+        raise ValueError(f"bad triangle vertex index in {path}")
+    return np.array(verts), np.array(tris)
+
+
+def write_cmf(path: str, verts: np.ndarray, tris: np.ndarray) -> None:
+    verts = np.asarray(verts, "<f4")
+    tris = np.asarray(tris, "<i4")
+    with open(path, "wb") as f:
+        f.write(_struct.pack("<ii", len(tris), len(verts)))
+        f.write(tris.tobytes())
+        f.write(verts.tobytes())
+
+
+def cmf_hash(verts: np.ndarray, tris: np.ndarray) -> int:
+    """Replicates CollisionMeshFile::UpdateHash (CollisionMeshFile.cpp:75-99).
+
+    The reference converts each float coordinate to uint32 by C cast
+    (truncation; negatives wrap through int64 as MSVC x64 does)."""
+    verts = np.asarray(verts, np.float32)
+    tris = np.asarray(tris, np.int64)
+    h = np.uint32(len(verts) + len(tris) * len(verts))
+    mueller = np.uint32(0x45D9F3B)
+    shift = np.uint32(0x9E3779B9)
+    # coords of tri vertices in reference iteration order: tri, corner, xyz
+    coords = verts[tris.reshape(-1)].reshape(-1)            # (T*3*3,)
+    vals = (np.trunc(coords.astype(np.float64)).astype(np.int64)
+            .astype(np.uint32))
+    with np.errstate(over="ignore"):
+        for _ in range(2):
+            vals = ((vals >> np.uint32(16)) ^ vals) * mueller
+        vals = (vals >> np.uint32(16)) ^ vals
+        for v in vals:
+            h = h ^ np.uint32(
+                (int(v) + int(shift) + ((int(h) << 6) & 0xFFFFFFFF)
+                 + (int(h) >> 2)) & 0xFFFFFFFF)
+    return int(h)
+
+
+# ---------------------------------------------------------------------------
+# Procedural soccar arena mesh
+# ---------------------------------------------------------------------------
+
+FLOOR_FILLET_RADIUS = 152.0    # floor -> wall transition ramp
+CEILING_FILLET_RADIUS = 256.0  # wall -> ceiling transition ramp
+
+
+def _octagon_planes() -> np.ndarray:
+    """The 8 outward wall planes of the soccar plan, as (nx, ny, d) with the
+    wall surface at n.p = d, n pointing out of the arena."""
+    s = 1.0 / np.sqrt(2.0)
+    return np.array([
+        [1, 0, C.ARENA_EXTENT_X],
+        [s, s, C.ARENA_CORNER_INTERCEPT * s],
+        [0, 1, C.ARENA_EXTENT_Y],
+        [-s, s, C.ARENA_CORNER_INTERCEPT * s],
+        [-1, 0, C.ARENA_EXTENT_X],
+        [-s, -s, C.ARENA_CORNER_INTERCEPT * s],
+        [0, -1, C.ARENA_EXTENT_Y],
+        [s, -s, C.ARENA_CORNER_INTERCEPT * s],
+    ], np.float64)
+
+
+def _fillet_inset(z: np.ndarray, r_floor: float, r_ceil: float,
+                  height: float) -> np.ndarray:
+    """Inward offset of a wall at height ``z`` due to the floor/ceiling
+    quarter-circle fillets (0 on the straight wall section)."""
+    z = np.asarray(z, np.float64)
+    lo = np.clip(r_floor - z, 0.0, r_floor)
+    hi = np.clip(r_ceil - (height - z), 0.0, r_ceil)
+    inset_lo = r_floor - np.sqrt(np.maximum(r_floor**2 - lo**2, 0.0))
+    inset_hi = r_ceil - np.sqrt(np.maximum(r_ceil**2 - hi**2, 0.0))
+    return inset_lo + inset_hi
+
+
+def _octagon_ring(z: float, planes: np.ndarray, r_floor: float,
+                  r_ceil: float, height: float) -> np.ndarray:
+    """(8, 2) plan-view corner vertices of the inward-offset octagon at
+    height z: consecutive offset planes intersected pairwise. Ring vertex i
+    joins plane i and plane i+1."""
+    inset = _fillet_inset(np.array([z]), r_floor, r_ceil, height)[0]
+    d = planes[:, 2] - inset
+    pts = []
+    for i in range(8):
+        n1, n2 = planes[i, :2], planes[(i + 1) % 8, :2]
+        d1, d2 = d[i], d[(i + 1) % 8]
+        a = np.array([n1, n2])
+        pts.append(np.linalg.solve(a, np.array([d1, d2])))
+    return np.array(pts)
+
+
+def _z_samples(height: float, r_floor: float, r_ceil: float,
+               n_fillet: int) -> np.ndarray:
+    """z levels: dense along both fillets (arc-uniform), sparse in between."""
+    th = np.linspace(0, np.pi / 2, n_fillet + 1)
+    z_lo = r_floor * (1.0 - np.cos(th))           # 0 .. r_floor
+    z_hi = height - r_ceil * (1.0 - np.cos(th))   # height .. height-r_ceil
+    mid = np.array([height * 0.5])
+    return np.unique(np.concatenate([z_lo, np.sort(z_hi), mid]))
+
+
+class _MeshBuilder:
+    def __init__(self):
+        self.verts: list = []
+        self.tris: list = []
+        self._index: dict = {}
+
+    def vert(self, p) -> int:
+        key = (round(float(p[0]), 3), round(float(p[1]), 3),
+               round(float(p[2]), 3))
+        i = self._index.get(key)
+        if i is None:
+            i = len(self.verts)
+            self._index[key] = i
+            self.verts.append([float(p[0]), float(p[1]), float(p[2])])
+        return i
+
+    def tri(self, a, b, c):
+        ia, ib, ic = self.vert(a), self.vert(b), self.vert(c)
+        if ia != ib and ib != ic and ia != ic:
+            self.tris.append([ia, ib, ic])
+
+    def quad(self, a, b, c, d):
+        """a-b-c-d in order around the quad."""
+        self.tri(a, b, c)
+        self.tri(a, c, d)
+
+    def arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        return (np.asarray(self.verts, np.float32),
+                np.asarray(self.tris, np.int32))
+
+
+def _grid_patch(mb: _MeshBuilder, corner_fn, nu: int, nv: int,
+                skip_fn=None):
+    """Tessellate a parametric patch corner_fn(u, v) -> xyz over a
+    (nu x nv) grid; skip_fn(uc, vc) True means drop that quad."""
+    for i in range(nu):
+        for j in range(nv):
+            u0, u1 = i / nu, (i + 1) / nu
+            v0, v1 = j / nv, (j + 1) / nv
+            if skip_fn is not None and skip_fn((u0 + u1) / 2, (v0 + v1) / 2):
+                continue
+            mb.quad(corner_fn(u0, v0), corner_fn(u1, v0),
+                    corner_fn(u1, v1), corner_fn(u0, v1))
+
+
+def build_soccar_mesh(n_fillet: int = 8, n_len: int = 8,
+                      n_height: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """Procedural soccar arena collision mesh.
+
+    Octagonal plan footprint (matches the analytic planes of
+    ``arena_geom``), curved floor->wall fillets (r=152) and wall->ceiling
+    fillets (r=256), goal openings in the back walls, and sharp-edged goal
+    boxes. Returns (verts (V,3) f32, tris (T,3) i32); triangle winding is
+    not relied upon by the queries (normals are two-sided).
+    """
+    planes = _octagon_planes()
+    H = C.ARENA_HEIGHT
+    rf, rc = FLOOR_FILLET_RADIUS, CEILING_FILLET_RADIUS
+    zs = _z_samples(H, rf, rc, n_fillet)
+    rings = np.array([_octagon_ring(z, planes, rf, rc, H) for z in zs])
+
+    mb = _MeshBuilder()
+    gw, gh, gd = C.GOAL_HALF_WIDTH, C.GOAL_HEIGHT, C.GOAL_DEPTH
+    ey = C.ARENA_EXTENT_Y
+
+    # --- wall strips (8 octagon sides x len(zs)-1 bands)
+    for side in range(8):
+        is_back = planes[side][1] != 0 and planes[side][0] == 0
+        back_sign = np.sign(planes[side][1]) if is_back else 0.0
+        for k in range(len(zs) - 1):
+            z0, z1 = zs[k], zs[k + 1]
+            # ring vertex side-1 joins planes side-1,side; vertex side joins
+            # side,side+1 — so side's strip spans ring pts side-1 .. side.
+            a0, b0 = rings[k][side - 1], rings[k][side]
+            a1, b1 = rings[k + 1][side - 1], rings[k + 1][side]
+            for j in range(n_len):
+                u0, u1 = j / n_len, (j + 1) / n_len
+                p00 = np.append(a0 + (b0 - a0) * u0, z0)
+                p10 = np.append(a0 + (b0 - a0) * u1, z0)
+                p11 = np.append(a1 + (b1 - a1) * u1, z1)
+                p01 = np.append(a1 + (b1 - a1) * u0, z1)
+                if is_back:
+                    # cut the goal opening out of the back wall
+                    cx = (p00[0] + p10[0]) / 2
+                    cz = (z0 + z1) / 2
+                    if abs(cx) < gw and cz < gh:
+                        continue
+                mb.quad(p00, p10, p11, p01)
+
+    # --- floor and ceiling: octagon polygons (fan from center)
+    for z, ring_idx in ((0.0, 0), (H, len(zs) - 1)):
+        ring = rings[ring_idx]
+        center = np.array([0.0, 0.0, z])
+        for i in range(8):
+            a, b = ring[i], ring[(i + 1) % 8]
+            # subdivide the fan edge so floor tris stay reasonably sized
+            for j in range(n_len):
+                u0, u1 = j / n_len, (j + 1) / n_len
+                mb.tri(center, np.append(a + (b - a) * u0, z),
+                       np.append(a + (b - a) * u1, z))
+
+    # --- goal boxes (sharp edges; the net/posts of the real asset are
+    # curved but the reference's scoring threshold is behind the opening)
+    for sy in (1.0, -1.0):
+        y0, y1 = sy * ey, sy * (ey + gd)
+
+        def P(x, y, z):
+            return np.array([x, y, z])
+
+        # goal floor
+        _grid_patch(mb, lambda u, v: P(-gw + 2 * gw * u, y0 + (y1 - y0) * v,
+                                       0.0), n_len, n_height)
+        # goal ceiling
+        _grid_patch(mb, lambda u, v: P(-gw + 2 * gw * u, y0 + (y1 - y0) * v,
+                                       gh), n_len, n_height)
+        # goal side walls
+        for sx in (1.0, -1.0):
+            _grid_patch(mb, lambda u, v: P(sx * gw, y0 + (y1 - y0) * u,
+                                           gh * v), n_height, n_height)
+        # goal back wall (net)
+        _grid_patch(mb, lambda u, v: P(-gw + 2 * gw * u, y1, gh * v),
+                    n_len, n_height)
+
+    return mb.arrays()
+
+
+# ---------------------------------------------------------------------------
+# Baked uniform grid (replaces btBvhTriangleMeshShape + the suspension grid)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MeshGrid:
+    """Device-resident triangle soup + uniform candidate grid.
+
+    ``cells[i, j, k]`` is a fixed-width list of triangle indices whose
+    inflated AABB overlaps cell (i, j, k), padded with -1. ``margin`` is the
+    inflation — any query (sphere center / ray origin / box center) whose
+    reach stays under ``margin`` needs only its own cell's list.
+    """
+    tri_a: jnp.ndarray      # (T, 3)
+    edge_ab: jnp.ndarray    # (T, 3)
+    edge_ac: jnp.ndarray    # (T, 3)
+    normal: jnp.ndarray     # (T, 3) unit
+    cells: jnp.ndarray      # (Cx, Cy, Cz, K) int32, -1 padded
+    origin: jnp.ndarray     # (3,)
+    inv_cell: jnp.ndarray   # (3,)
+    margin: float
+
+    def tree_flatten(self):
+        return ((self.tri_a, self.edge_ab, self.edge_ac, self.normal,
+                 self.cells, self.origin, self.inv_cell), self.margin)
+
+    @classmethod
+    def tree_unflatten(cls, margin, leaves):
+        return cls(*leaves, margin)
+
+    # -- bake ---------------------------------------------------------------
+    @classmethod
+    def bake(cls, verts: np.ndarray, tris: np.ndarray,
+             cell_size: float = 512.0, margin: float = 160.0) -> "MeshGrid":
+        verts = np.asarray(verts, np.float32)
+        tris = np.asarray(tris, np.int64)
+        a = verts[tris[:, 0]]
+        b = verts[tris[:, 1]]
+        c = verts[tris[:, 2]]
+        tri_min = np.minimum(np.minimum(a, b), c) - margin
+        tri_max = np.maximum(np.maximum(a, b), c) + margin
+
+        lo = verts.min(0) - margin
+        hi = verts.max(0) + margin
+        dims = np.maximum(np.ceil((hi - lo) / cell_size).astype(int), 1)
+
+        lo_cell = np.clip(((tri_min - lo) / cell_size).astype(int), 0,
+                          dims - 1)
+        hi_cell = np.clip(((tri_max - lo) / cell_size).astype(int), 0,
+                          dims - 1)
+
+        buckets: dict = {}
+        for t in range(len(tris)):
+            for i in range(lo_cell[t, 0], hi_cell[t, 0] + 1):
+                for j in range(lo_cell[t, 1], hi_cell[t, 1] + 1):
+                    for k in range(lo_cell[t, 2], hi_cell[t, 2] + 1):
+                        buckets.setdefault((i, j, k), []).append(t)
+
+        kmax = max((len(v) for v in buckets.values()), default=1)
+        # round K up for friendlier gather shapes
+        kmax = int(np.ceil(kmax / 8) * 8)
+        cells = np.full((dims[0], dims[1], dims[2], kmax), -1, np.int32)
+        for (i, j, k), lst in buckets.items():
+            cells[i, j, k, :len(lst)] = lst
+
+        n = np.cross(b - a, c - a)
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        return cls(
+            tri_a=jnp.asarray(a), edge_ab=jnp.asarray(b - a),
+            edge_ac=jnp.asarray(c - a), normal=jnp.asarray(n),
+            cells=jnp.asarray(cells), origin=jnp.asarray(lo, jnp.float32),
+            inv_cell=jnp.asarray(1.0 / cell_size
+                                 * np.ones(3), jnp.float32),
+            margin=float(margin))
+
+    # -- candidate gather ---------------------------------------------------
+    def candidates(self, pos: jnp.ndarray) -> jnp.ndarray:
+        """(..., K) triangle indices (-1 padded) near ``pos`` (..., 3)."""
+        cell = jnp.floor((pos - self.origin) * self.inv_cell).astype(jnp.int32)
+        dims = jnp.asarray(self.cells.shape[:3], jnp.int32)
+        cell = jnp.clip(cell, 0, dims - 1)
+        return self.cells[cell[..., 0], cell[..., 1], cell[..., 2]]
+
+    def _gather(self, idx: jnp.ndarray):
+        safe = jnp.maximum(idx, 0)
+        return (self.tri_a[safe], self.edge_ab[safe], self.edge_ac[safe],
+                self.normal[safe])
+
+    # -- queries ------------------------------------------------------------
+    def sphere_contacts(self, pos: jnp.ndarray, radius):
+        """Sphere vs mesh. pos (..., 3) -> (normals (..., K, 3),
+        depth (..., K), active (..., K)). Exact closest-point test
+        (Ericson, RTCD 5.1.5), two-sided."""
+        idx = self.candidates(pos)
+        a, ab, ac, tri_n = self._gather(idx)
+        p = pos[..., None, :]
+        cp = _closest_point_triangle(p, a, ab, ac)
+        delta = p - cp
+        dist = jnp.linalg.norm(delta, axis=-1)
+        # contact normal: from surface toward sphere center; for face
+        # contacts this equals +-tri_n, for edge/vertex contacts it
+        # interpolates — same as bullet's sphere-triangle
+        face_side = jnp.sign(
+            jnp.sum(delta * tri_n, axis=-1, keepdims=True))
+        face_side = jnp.where(face_side == 0, 1.0, face_side)
+        n = jnp.where(dist[..., None] > 1e-6,
+                      delta / jnp.maximum(dist[..., None], 1e-6),
+                      tri_n * face_side)
+        depth = radius - dist
+        active = (idx >= 0) & (depth > 0)
+        return n, depth, active
+
+    def raycast(self, start: jnp.ndarray, direction: jnp.ndarray, max_len):
+        """Short raycast vs mesh (suspension rays). start/direction (..., 3)
+        -> (hit (...,), dist (...,), normal (..., 3)). Rays longer than
+        ``margin`` may miss triangles binned to other cells."""
+        idx = self.candidates(start)
+        a, ab, ac, tri_n = self._gather(idx)
+        o = start[..., None, :]
+        d = direction[..., None, :]
+        t, valid = _ray_triangle(o, d, a, ab, ac)
+        valid = valid & (idx >= 0) & (t >= 0)
+        t = jnp.where(valid, t, jnp.inf)
+        t_min = jnp.min(t, axis=-1)
+        k = jnp.argmin(t, axis=-1)
+        hit = t_min <= max_len
+        dist = jnp.where(hit, t_min, max_len)
+        n = jnp.take_along_axis(tri_n, k[..., None, None], axis=-2)
+        n = jnp.squeeze(n, -2)
+        # two-sided: normal faces back along the ray
+        flip = jnp.sign(jnp.sum(n * direction, axis=-1, keepdims=True))
+        n = jnp.where(flip > 0, -n, n)
+        return hit, dist, n
+
+    def box_contacts(self, pos: jnp.ndarray, rot: jnp.ndarray,
+                     half_extents: jnp.ndarray):
+        """Oriented box vs mesh, one contact per candidate triangle plane.
+
+        Same convention as arena_geom.box_contacts: the deepest box support
+        point against each triangle's plane, active when it penetrates and
+        projects into the triangle. pos (..., 3), rot (..., 3, 3) ->
+        (normal (..., K, 3), point (..., K, 3), depth (..., K),
+        active (..., K))."""
+        idx = self.candidates(pos)
+        a, ab, ac, tri_n = self._gather(idx)
+        # plane normal toward the box center (two-sided triangles)
+        to_c = pos[..., None, :] - a
+        side = jnp.sign(jnp.sum(to_c * tri_n, axis=-1, keepdims=True))
+        side = jnp.where(side == 0, 1.0, side)
+        n = tri_n * side                                     # (..., K, 3)
+        # support radius of the oriented box along n
+        proj = jnp.einsum('...kc,...cj->...kj', n, rot)      # n . axis_j
+        r_eff = jnp.sum(jnp.abs(proj) * half_extents[..., None, :], axis=-1)
+        dist = jnp.sum(to_c * n, axis=-1)                    # center to plane
+        depth = r_eff - dist
+        # support point: center - sum_j sign(n.a_j) h_j a_j
+        signs = jnp.sign(proj)
+        offset = jnp.einsum('...kj,...cj->...kc',
+                            signs * half_extents[..., None, :], rot)
+        point = pos[..., None, :] - offset
+        # the contact must lie (projected along the normal) within the
+        # triangle: barycentric test, scale-free (fp32-safe at arena scale)
+        ap = point - a
+        d00 = jnp.sum(ab * ab, -1)
+        d01 = jnp.sum(ab * ac, -1)
+        d11 = jnp.sum(ac * ac, -1)
+        d20 = jnp.sum(ap * ab, -1)
+        d21 = jnp.sum(ap * ac, -1)
+        den = jnp.maximum(d00 * d11 - d01 * d01, 1e-20)
+        v = (d11 * d20 - d01 * d21) / den
+        w = (d00 * d21 - d01 * d20) / den
+        eps = 1e-3
+        inside = (v >= -eps) & (w >= -eps) & (v + w <= 1 + eps)
+        active = (idx >= 0) & (depth > 0) & (dist > 0) & inside
+        return n, point, depth, active
+
+
+def _closest_point_triangle(p, a, ab, ac):
+    """Closest point on triangle (a, a+ab, a+ac) to p; branchless Ericson
+    RTCD 5.1.5. All args broadcast over leading dims with trailing (3,)."""
+    ap = p - a
+    d1 = jnp.sum(ab * ap, -1)
+    d2 = jnp.sum(ac * ap, -1)
+    bp = p - (a + ab)
+    d3 = jnp.sum(ab * bp, -1)
+    d4 = jnp.sum(ac * bp, -1)
+    cp_ = p - (a + ac)
+    d5 = jnp.sum(ab * cp_, -1)
+    d6 = jnp.sum(ac * cp_, -1)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    # interior barycentric
+    denom = jnp.maximum(va + vb + vc, 1e-20)
+    v_in = vb / denom
+    w_in = vc / denom
+
+    # start from interior, override with edge/vertex regions
+    v, w = v_in, w_in
+    # edge AC (vb <= 0): v=0, w = clamp(d2 / (d2 - d6))
+    w_ac = d2 / jnp.where(jnp.abs(d2 - d6) < 1e-20, 1e-20, d2 - d6)
+    in_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    v = jnp.where(in_ac, 0.0, v)
+    w = jnp.where(in_ac, jnp.clip(w_ac, 0.0, 1.0), w)
+    # edge BC (va <= 0): param t along (c - b)
+    t_bc = (d4 - d3) / jnp.where(
+        jnp.abs((d4 - d3) + (d5 - d6)) < 1e-20, 1e-20,
+        (d4 - d3) + (d5 - d6))
+    in_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+    t_bc = jnp.clip(t_bc, 0.0, 1.0)
+    v = jnp.where(in_bc, 1.0 - t_bc, v)
+    w = jnp.where(in_bc, t_bc, w)
+    # edge AB (vc <= 0): w=0, v = clamp(d1 / (d1 - d3))
+    v_ab = d1 / jnp.where(jnp.abs(d1 - d3) < 1e-20, 1e-20, d1 - d3)
+    in_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    v = jnp.where(in_ab, jnp.clip(v_ab, 0.0, 1.0), v)
+    w = jnp.where(in_ab, 0.0, w)
+    # vertex regions
+    in_a = (d1 <= 0) & (d2 <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    v = jnp.where(in_c, 0.0, jnp.where(in_b, 1.0, jnp.where(in_a, 0.0, v)))
+    w = jnp.where(in_c, 1.0, jnp.where(in_b, 0.0, jnp.where(in_a, 0.0, w)))
+
+    return a + ab * v[..., None] + ac * w[..., None]
+
+
+def _ray_triangle(o, d, a, ab, ac):
+    """Moller-Trumbore, two-sided. Returns (t, valid)."""
+    pvec = jnp.cross(d, ac)
+    det = jnp.sum(ab * pvec, -1)
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    tvec = o - a
+    u = jnp.sum(tvec * pvec, -1) * inv_det
+    qvec = jnp.cross(tvec, ab)
+    v = jnp.sum(d * qvec, -1) * inv_det
+    t = jnp.sum(ac * qvec, -1) * inv_det
+    eps = 1e-6
+    valid = ((jnp.abs(det) > 1e-12) & (u >= -eps) & (v >= -eps)
+             & (u + v <= 1 + eps))
+    return t, valid
+
+
+# ---------------------------------------------------------------------------
+# Asset loading (reference: RocketSim::Init, RocketSim.cpp:70-212)
+# ---------------------------------------------------------------------------
+
+# Known hashes of the real arena meshes (RocketSim.cpp:20-37) so real
+# assets are verified exactly like the reference does.
+SOCCAR_ARENA_MESH_HASHES = frozenset([
+    0xA160BAF9, 0x2811EEE8, 0xB81AC8B9, 0x760358D3,
+    0x73AE4940, 0x918F4A4E, 0x1F8EE550, 0x255BA8C1,
+    0x14B84668, 0xEC759EBF, 0x94FB0D5C, 0xDEA07102,
+    0xBD4FBEA8, 0x39A47F63, 0x3D79D25D, 0xD84C7A68,
+])
+HOOPS_ARENA_MESH_HASHES = frozenset([
+    0x72F2359E, 0x5ED14A26, 0xFD5A0D07, 0x92AFA5B5,
+    0x0E4133C7, 0x399E8B5F, 0xBB9D4FB5, 0x8C87FB93,
+    0x1CFD0E16, 0xE19E1DF6, 0x9CA179DC, 0x16F3CC19,
+])
+
+
+def load_arena_mesh(mesh_dir: str | None = None,
+                    cell_size: float = 512.0,
+                    margin: float = 160.0,
+                    verify_hashes: bool = False) -> MeshGrid:
+    """Build the arena MeshGrid: from real ``.cmf`` assets when
+    ``mesh_dir`` is given (merging all meshes, like the reference adds every
+    mesh to one static world), else from the procedural soccar mesh."""
+    if mesh_dir is None:
+        verts, tris = build_soccar_mesh()
+        return MeshGrid.bake(verts, tris, cell_size, margin)
+    import glob
+    import os
+    paths = sorted(glob.glob(os.path.join(mesh_dir, "*.cmf")))
+    if not paths:
+        raise FileNotFoundError(f"no .cmf meshes in {mesh_dir}")
+    all_verts, all_tris = [], []
+    base = 0
+    for p in paths:
+        v, t = read_cmf(p)
+        if verify_hashes and cmf_hash(v, t) not in (
+                SOCCAR_ARENA_MESH_HASHES | HOOPS_ARENA_MESH_HASHES):
+            raise ValueError(f"unknown arena mesh hash for {p}")
+        all_verts.append(v)
+        all_tris.append(t + base)
+        base += len(v)
+    return MeshGrid.bake(np.concatenate(all_verts),
+                         np.concatenate(all_tris), cell_size, margin)

@@ -1,6 +1,8 @@
 """The component-form tick (ops/ctick, the megakernel body) reproduces the
 XLA physics path (physics/step.arena_step) trajectory-for-trajectory."""
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,19 +75,29 @@ def _random_controls(key):
     return jnp.concatenate([analog, buttons], axis=-1)
 
 
-def _run_xla(phys, new_controls, params, key):
+@partial(jax.jit, static_argnums=(2,))
+def _run_xla_jit(phys, new_controls, params, key):
     keys = jax.random.split(key, E)
     fn = jax.vmap(lambda p, c, k: stepmod.arena_step(
         p, c, TEAMS, k, params, 8, 7))
     return fn(phys, new_controls, keys)
 
 
-def _run_ctick(phys, new_controls, params):
+def _run_xla(phys, new_controls, params, key):
+    return _run_xla_jit(phys, new_controls, params, key)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _run_ctick_jit(params, d, nc, ridx):
     k = ctick.make_consts(params, np.asarray(TEAMS))
+    return ctick.step(k, d, nc, ridx, 8, 7)
+
+
+def _run_ctick(phys, new_controls, params):
     d = pack.to_components(phys)
     nc = tuple(jnp.swapaxes(new_controls[..., c], 0, 1) for c in range(8))
     ridx = jnp.zeros((CARS, E), jnp.int32)
-    out = ctick.step(k, d, nc, ridx, 8, 7)
+    out = _run_ctick_jit(params, d, nc, ridx)
     return pack.from_components(out, E)
 
 
