@@ -233,6 +233,38 @@ BOOST_PAD_LOCS_SOCCAR = np.concatenate(
 NUM_BOOST_PADS = 34
 BOOST_PAD_IS_BIG = np.array([True] * 6 + [False] * 28)
 
+# Hoops pads (reference: RLConst.h:257-283 — big first, like soccar)
+BOOST_LOCS_BIG_HOOPS = np.array([
+    [-2176.0, 2944.0, 72.0],
+    [2176.0, -2944.0, 72.0],
+    [-2176.0, -2944.0, 72.0],
+    [-2432.0, 0.0, 72.0],
+    [2432.0, 0.0, 72.0],
+    [2175.99, 2944.0, 72.0],
+], dtype=np.float32)
+
+BOOST_LOCS_SMALL_HOOPS = np.array([
+    [1536.0, -1024.0, 64.0],
+    [-1280.0, -2304.0, 64.0],
+    [0.0, -2816.0, 64.0],
+    [-1536.0, -1024.0, 64.0],
+    [1280.0, -2304.0, 64.0],
+    [-512.0, 512.0, 64.0],
+    [-1536.0, 1024.0, 64.0],
+    [1536.0, 1024.0, 64.0],
+    [1280.0, 2304.0, 64.0],
+    [0.0, 2816.0, 64.0],
+    [512.0, 512.0, 64.0],
+    [512.0, -512.0, 64.0],
+    [-512.0, -512.0, 64.0],
+    [-1280.0, 2304.0, 64.0],
+], dtype=np.float32)
+
+BOOST_PAD_LOCS_HOOPS = np.concatenate(
+    [BOOST_LOCS_BIG_HOOPS, BOOST_LOCS_SMALL_HOOPS], axis=0)
+NUM_BOOST_PADS_HOOPS = 20
+BOOST_PAD_IS_BIG_HOOPS = np.array([True] * 6 + [False] * 14)
+
 
 # ---------------------------------------------------------------------------
 # Kickoff / respawn spawn tables (reference: RLConst.h:284-338)
@@ -257,6 +289,84 @@ CAR_RESPAWN_LOCATIONS_SOCCAR = np.array([
     [2304.0, -4608.0, math.pi / 2],
     [2688.0, -4608.0, math.pi / 2],
 ], dtype=np.float32)
+
+CAR_SPAWN_LOCATION_AMOUNT_HEATSEEKER = 4
+
+CAR_SPAWN_LOCATIONS_HEATSEEKER = np.array([
+    [-1000.0, -4620.0, math.pi / 2],
+    [1000.0, -4620.0, math.pi / 2],
+    [-2000.0, -4620.0, math.pi / 2],
+    [2000.0, -4620.0, math.pi / 2],
+], dtype=np.float32)
+
+CAR_SPAWN_LOCATIONS_HOOPS = np.array([
+    [-1536.0, -3072.0, _PI_4 * 2],
+    [1536.0, -3072.0, _PI_4 * 2],
+    [-256.0, -2816.0, _PI_4 * 2],
+    [256.0, -2816.0, _PI_4 * 2],
+    [0.0, -3200.0, _PI_4 * 2],
+], dtype=np.float32)
+
+CAR_RESPAWN_LOCATIONS_HOOPS = np.array([
+    [-1920.0, -3072.0, math.pi / 2],
+    [-1152.0, -3072.0, math.pi / 2],
+    [1920.0, -3072.0, math.pi / 2],
+    [1152.0, -3072.0, math.pi / 2],
+], dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Game modes beyond soccar (reference: GameMode.h, RLConst.h:18-20,42,
+# 106-110, 124-127, 151-198; Arena.cpp:949-974)
+
+ARENA_EXTENT_X_HOOPS = 8900.0 / 3.0
+ARENA_EXTENT_Y_HOOPS = 3581.0
+ARENA_HEIGHT_HOOPS = 1820.0
+
+BALL_COLLISION_RADIUS_HOOPS = 96.3831
+BALL_COLLISION_RADIUS_DROPSHOT = 100.2565
+BALL_HOOPS_Z_VEL = 1000.0       # kickoff z impulse on the hoops ball
+
+HOOPS_GOAL_SCORE_THRESHOLD_Z = 270.0
+# BallWithinHoopsGoalXYMarginSq (Arena.cpp:816-825)
+HOOPS_GOAL_SCALE_Y = 0.9
+HOOPS_GOAL_OFFSET_Y = 2770.0
+HOOPS_GOAL_RADIUS = 716.0
+
+BALL_CAR_EXTRA_IMPULSE_Z_SCALE_HOOPS_GROUND = 0.35 * 1.55
+BALL_CAR_EXTRA_IMPULSE_Z_SCALE_HOOPS_NORMAL_Z_THRESH = 0.1
+
+
+class Heatseeker:
+    """Reference: RLConst.h namespace Heatseeker (151-175)."""
+    INITIAL_TARGET_SPEED = 2900.0
+    TARGET_SPEED_INCREMENT = 85.0
+    MIN_SPEEDUP_INTERVAL = 1.0
+    TARGET_Y = 5120.0
+    TARGET_Z = 320.0
+    HORIZONTAL_BLEND = 1.45
+    VERTICAL_BLEND = 0.78
+    SPEED_BLEND = 0.3
+    MAX_TURN_PITCH = 7000.0 * math.pi / (1 << 15)
+    MAX_SPEED = 4600.0
+    WALL_BOUNCE_CHANGE_Y_THRESH = 300.0
+    WALL_BOUNCE_CHANGE_Y_NORMAL = 0.5
+    WALL_BOUNCE_FORCE_SCALE = 1.0 / 3.0
+    WALL_BOUNCE_UP_FRAC = 0.3
+    # blue-team start; flip y for orange
+    BALL_START_POS = (-1000.0, -2220.0, 92.75)
+    BALL_START_VEL = (0.0, -65.0, 650.0)
+
+
+class Snowday:
+    """Reference: RLConst.h namespace Snowday (176-185)."""
+    PUCK_RADIUS = 114.25
+    PUCK_HEIGHT = 62.5
+    PUCK_CIRCLE_POINT_AMOUNT = 20
+    PUCK_MASS_BT = 50.0
+    PUCK_GROUND_STICK_FORCE = 70.0
+    PUCK_FRICTION = 0.1
+    PUCK_RESTITUTION = 0.3
 
 
 # ---------------------------------------------------------------------------

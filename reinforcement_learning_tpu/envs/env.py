@@ -46,6 +46,7 @@ class EnvConfig:
     spawn_opponents: bool = True
     tick_skip: int = 8
     action_delay: int = 7
+    game_mode: str = "soccar"  # soccar | hoops | heatseeker | snowday
     arena: stepmod.ArenaParams = None  # filled in __post_init__
     no_touch_timeout: float = 30.0
     max_episode_seconds: float = 300.0
@@ -80,6 +81,8 @@ class EnvState:
     prev_actions: jnp.ndarray     # (P, 8) action floats shown in obs
     steps_since_touch: jnp.ndarray  # () int32
     steps_since_reset: jnp.ndarray  # () int32
+    blue_score: jnp.ndarray       # () int32 goals since episode reset
+    orange_score: jnp.ndarray     # () int32
     tracker: eventsmod.TrackerState
     key: jnp.ndarray              # per-env PRNG key
 
@@ -101,6 +104,10 @@ class TerminalCtx:
     goal_scored: jnp.ndarray
     steps_since_touch: jnp.ndarray
     steps_since_reset: jnp.ndarray
+    blue_score: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
+    orange_score: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 class RocketLeagueEnv:
@@ -115,8 +122,14 @@ class RocketLeagueEnv:
         if config.arena is None:
             config = dataclasses.replace(
                 config, arena=stepmod.ArenaParams(
-                    num_cars=config.cars_per_arena))
+                    num_cars=config.cars_per_arena,
+                    game_mode=config.game_mode))
             self.config = config
+        if (config.game_mode != "soccar"
+                and config.physics_backend == "pallas"):
+            raise ValueError("the pallas megakernel backend is soccar-only; "
+                             "use physics_backend='xla' for "
+                             f"{config.game_mode}")
         self.params = config.arena
         self.teams_np = config.make_teams()
         self.teams = jnp.asarray(self.teams_np)
@@ -158,6 +171,8 @@ class RocketLeagueEnv:
             prev_actions=jnp.zeros((P, NUM_CONTROLS), jnp.float32),
             steps_since_touch=jnp.zeros((), jnp.int32),
             steps_since_reset=jnp.zeros((), jnp.int32),
+            blue_score=jnp.zeros((), jnp.int32),
+            orange_score=jnp.zeros((), jnp.int32),
             tracker=eventsmod.TrackerState.make(),
             key=knext)
 
@@ -207,9 +222,20 @@ class RocketLeagueEnv:
                                       state.steps_since_touch + 1)
         steps_since_reset = state.steps_since_reset + 1
 
+        # Episode score counters (team from ball y, like the reference's
+        # ScoreLimitCondition/LosingPenaltyReward in ExampleMain.cpp:46-124;
+        # counts every goalScored step, including repeats while the ball
+        # sits in the net — faithful to the positional IsBallScored)
+        blue_inc = arena.goal_scored & (arena.ball.pos[1] > 0)
+        orange_inc = arena.goal_scored & ~(arena.ball.pos[1] > 0)
+        blue_score = state.blue_score + blue_inc.astype(jnp.int32)
+        orange_score = state.orange_score + orange_inc.astype(jnp.int32)
+
         tctx = TerminalCtx(goal_scored=arena.goal_scored,
                            steps_since_touch=steps_since_touch,
-                           steps_since_reset=steps_since_reset)
+                           steps_since_reset=steps_since_reset,
+                           blue_score=blue_score,
+                           orange_score=orange_score)
         terminal_type = self.terminal_fn(tctx)
 
         rctx = RewardCtx(
@@ -217,7 +243,8 @@ class RocketLeagueEnv:
             ball=arena.ball, prev_ball=prev_arena.ball,
             teams=self.teams, ball_touched_step=touched,
             goal_scored=arena.goal_scored, has_prev=state.has_prev,
-            is_final=terminal_type, events=ev)
+            is_final=terminal_type, events=ev,
+            blue_score=blue_score, orange_score=orange_score)
         reward, reward_components = self.reward_combined(rctx)
 
         next_state = EnvState(
@@ -226,6 +253,7 @@ class RocketLeagueEnv:
             prev_actions=controls,
             steps_since_touch=steps_since_touch,
             steps_since_reset=steps_since_reset,
+            blue_score=blue_score, orange_score=orange_score,
             tracker=tracker, key=key)
 
         final_obs = self._obs_one(next_state)
@@ -261,6 +289,8 @@ class RocketLeagueEnv:
 
     def _use_pallas(self) -> bool:
         b = self.config.physics_backend
+        if self.config.game_mode != "soccar":
+            return False
         if b == "auto":
             try:
                 plat = jax.devices()[0].platform

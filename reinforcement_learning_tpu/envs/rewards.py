@@ -33,6 +33,10 @@ class RewardCtx:
     has_prev: jnp.ndarray           # () bool — False on the reset step
     is_final: jnp.ndarray           # () int32 TerminalType for this step
     events: dict                    # name -> (P,) bool event flags
+    blue_score: jnp.ndarray = dataclasses.field(       # goals this episode
+        default_factory=lambda: jnp.zeros((), jnp.int32))
+    orange_score: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 RewardFn = Callable[[RewardCtx], jnp.ndarray]
@@ -209,6 +213,19 @@ def strong_touch_reward(min_kph: float = 20, max_kph: float = 130) -> RewardFn:
 
 
 # --- wrappers --------------------------------------------------------------
+
+def losing_penalty_reward(penalty_per_goal_behind: float = 0.01) -> RewardFn:
+    """Continuous penalty for players whose team trails on the episode
+    score, proportional to the deficit (reference: LosingPenaltyReward,
+    ExampleMain.cpp:86-124)."""
+    def fn(ctx: RewardCtx) -> jnp.ndarray:
+        blue = ctx.blue_score.astype(jnp.float32)
+        orange = ctx.orange_score.astype(jnp.float32)
+        deficit = jnp.where(ctx.teams == 0, orange - blue, blue - orange)
+        return -penalty_per_goal_behind * jnp.maximum(deficit, 0.0)
+    fn.__name__ = "LosingPenaltyReward"
+    return fn
+
 
 def zero_sum(child: RewardFn, team_spirit: float = 1.0,
              opponent_scale: float = 1.0) -> RewardFn:

@@ -18,21 +18,30 @@ from reinforcement_learning_tpu.physics import step as stepmod
 from reinforcement_learning_tpu.physics.state import MutatorConfig
 
 
-def _kickoff_positions(key, teams, fuzz: float = 0.0):
-    """Car kickoff placement (Arena.cpp:112-193): shuffle the 5 spawn
-    slots, assign the i-th car of each team to shuffled slot i, mirrored
-    for orange.  Returns (pos (Cn,3), yaw (Cn,))."""
+def _kickoff_positions(key, teams, fuzz: float = 0.0,
+                       game_mode: str = "soccar"):
+    """Car kickoff placement (Arena.cpp:112-193): shuffle the spawn slots,
+    assign the i-th car of each team to shuffled slot i, mirrored for
+    orange.  Returns (pos (Cn,3), yaw (Cn,))."""
     num_cars = teams.shape[0]
     kshuf, kfuzz = jax.random.split(key)
-    order = jax.random.permutation(kshuf, C.CAR_SPAWN_LOCATION_AMOUNT)
-    table = jnp.asarray(C.CAR_SPAWN_LOCATIONS_SOCCAR)
+    if game_mode == "heatseeker":
+        n_slots = C.CAR_SPAWN_LOCATION_AMOUNT_HEATSEEKER
+        table = jnp.asarray(C.CAR_SPAWN_LOCATIONS_HEATSEEKER)
+    elif game_mode == "hoops":
+        n_slots = C.CAR_SPAWN_LOCATION_AMOUNT
+        table = jnp.asarray(C.CAR_SPAWN_LOCATIONS_HOOPS)
+    else:
+        n_slots = C.CAR_SPAWN_LOCATION_AMOUNT
+        table = jnp.asarray(C.CAR_SPAWN_LOCATIONS_SOCCAR)
+    order = jax.random.permutation(kshuf, n_slots)
 
     # i-th car within its team (stable order, like the reference lists)
     team_rank = jnp.cumsum(jnp.ones_like(teams)) - 1
     blue_rank = jnp.cumsum((teams == 0).astype(jnp.int32)) - 1
     orange_rank = jnp.cumsum((teams == 1).astype(jnp.int32)) - 1
     rank = jnp.where(teams == 0, blue_rank, orange_rank)
-    rank = jnp.minimum(rank, C.CAR_SPAWN_LOCATION_AMOUNT - 1)
+    rank = jnp.minimum(rank, n_slots - 1)
 
     slot = order[rank]
     spawn = table[slot]  # (Cn, 3): x, y, yaw
@@ -51,12 +60,27 @@ def kickoff_state(fuzz: float = 0.0):
     FuzzedKickoffState (fuzz=0.1)."""
     def fn(key, params: stepmod.ArenaParams, teams) -> stepmod.PhysicsState:
         phys = stepmod.make_physics_state(params)
-        pos, yaw = _kickoff_positions(key, teams, fuzz)
+        kcars, kball = jax.random.split(key)
+        pos, yaw = _kickoff_positions(kcars, teams, fuzz, params.game_mode)
         cars = phys.arena.cars.replace(
             pos=pos, rot=m.euler_to_rotmat(yaw),
             boost=jnp.full(teams.shape,
                            params.mutators.car_spawn_boost_amount))
-        return phys.replace(arena=phys.arena.replace(cars=cars))
+        ball = phys.arena.ball
+        # Mode-specific kickoff ball state (Arena.cpp:196-208)
+        if params.game_mode == "heatseeker":
+            side = jnp.where(jax.random.bernoulli(kball), 1.0, -1.0)
+            scale = jnp.stack([jnp.ones(()), side, jnp.ones(())])
+            ball = ball.replace(
+                pos=jnp.asarray(C.Heatseeker.BALL_START_POS) * scale,
+                vel=jnp.asarray(C.Heatseeker.BALL_START_VEL) * scale)
+        elif params.game_mode == "snowday":
+            # don't freeze (FLT_EPSILON z vel keeps the puck awake)
+            ball = ball.replace(vel=jnp.array([0.0, 0.0, 1.19e-7]))
+        elif params.game_mode == "hoops":
+            ball = ball.replace(vel=jnp.array([0.0, 0.0,
+                                               C.BALL_HOOPS_Z_VEL]))
+        return phys.replace(arena=phys.arena.replace(cars=cars, ball=ball))
     fn.__name__ = "KickoffState" if fuzz == 0 else "FuzzedKickoffState"
     return fn
 

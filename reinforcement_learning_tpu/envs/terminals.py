@@ -47,6 +47,19 @@ def timeout_condition(timeout_seconds: float, step_seconds: float):
     return fn
 
 
+def score_limit_condition(limit_goals: int):
+    """Terminal when either team reaches ``limit_goals`` this episode
+    (reference: ScoreLimitCondition, ExampleMain.cpp:46-82).  Uses the
+    per-episode score counters maintained by the env (which, like the
+    reference, count every goalScored step)."""
+    def fn(ctx) -> jnp.ndarray:
+        done = (ctx.blue_score >= limit_goals) | (
+            ctx.orange_score >= limit_goals)
+        return jnp.where(done, NORMAL, NOT_TERMINAL)
+    fn.__name__ = "ScoreLimitCondition"
+    return fn
+
+
 def combine_conditions(conds):
     """EnvSet.cpp:166-180: NOT < TRUNCATED < NORMAL precedence."""
     def fn(ctx) -> jnp.ndarray:

@@ -48,7 +48,8 @@ class PPOConfig:
     shared_head_layers: tuple = (256,)   # () => no shared head
     activation: str = "relu"
     layer_norm: bool = True
-    optim: str = "adam"            # adam | adamw | magsgd
+    optim: str = "adam"   # adam | adamw | adagrad | rmsprop | magsgd
+                          # (reference enum set, ModelConfig.h:6-43)
 
     epochs: int = 2
     policy_lr: float = 3e-4
@@ -113,6 +114,10 @@ class PPOLearner:
             base = optax.adam(lr)
         elif self.config.optim == "adamw":
             base = optax.adamw(lr)
+        elif self.config.optim == "adagrad":
+            base = optax.adagrad(lr)
+        elif self.config.optim == "rmsprop":
+            base = optax.rmsprop(lr)
         elif self.config.optim == "magsgd":
             base = mag_sgd(lr)
         else:

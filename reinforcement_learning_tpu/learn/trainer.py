@@ -67,10 +67,17 @@ class TrainState:
 class Trainer:
     def __init__(self, env: RocketLeagueEnv, ppo_config: PPOConfig,
                  config: TrainerConfig = TrainerConfig(),
-                 selfplay: "sp.SelfPlayConfig | None" = None):
+                 selfplay: "sp.SelfPlayConfig | None" = None,
+                 step_metrics_fn=None):
+        """``step_metrics_fn(env_states, out) -> dict[str, array]`` is the
+        jit-compatible equivalent of the reference's per-step user metric
+        callback (reference: StepCallback, ExampleMain.cpp:232-254 wired in
+        Learner.cpp:796-797); values are averaged over the iteration and
+        reported alongside the built-in metrics."""
         self.env = env
         self.config = config
         self.ppo_config = ppo_config
+        self.step_metrics_fn = step_metrics_fn
         self.learner = PPOLearner(env.obs_size, env.num_actions, ppo_config)
 
         n_players = env.config.num_envs * env.config.cars_per_arena
@@ -162,6 +169,8 @@ class Trainer:
                 goal=out.goal_scored,
                 touch=out.ball_touched,
             )
+            if self.step_metrics_fn is not None:
+                data["user_metrics"] = self.step_metrics_fn(env_states2, out)
             return (env_states2, out.obs, out.action_mask, key), data
 
         (env_states, obs, masks, _), traj = jax.lax.scan(
@@ -221,6 +230,17 @@ class Trainer:
         metrics["return_std"] = return_stat.std
         metrics["reward_clip_portion"] = clip_portion
         metrics["value_mean"] = jnp.mean(v_obs)
+        if self.step_metrics_fn is not None:
+            # a (value, weight-mask) tuple = conditional average, matching
+            # Report::AddAvg called only on qualifying events
+            for name, vals in traj["user_metrics"].items():
+                if isinstance(vals, tuple):
+                    v, w = vals
+                    w = w.astype(jnp.float32)
+                    metrics[name] = (jnp.sum(v * w)
+                                     / jnp.maximum(jnp.sum(w), 1.0))
+                else:
+                    metrics[name] = jnp.mean(vals)
 
         new_state = TrainState(
             ppo=ppo_state, env_states=env_states, obs=obs, masks=masks,
@@ -281,8 +301,36 @@ class Trainer:
                 extra.update({k: float(v) for k, v in info.items()})
         return result
 
+    def init_or_resume(self, key=None) -> TrainState:
+        """init(), then auto-resume from the newest checkpoint in
+        ``config.checkpoint_folder`` if one exists (the reference's
+        auto-Load-newest on construction, Learner.cpp:145-146,259-279)."""
+        from reinforcement_learning_tpu.utils import checkpoint as ckpt
+
+        state = self.init(key)
+        if self.config.checkpoint_folder:
+            restored, stats = ckpt.load_latest(self.config.checkpoint_folder,
+                                               state)
+            if restored is not None:
+                return restored
+        return state
+
+    def save(self, state: TrainState) -> str | None:
+        """Checkpoint now (reference: Learner::Save, Learner.cpp:224-257)."""
+        from reinforcement_learning_tpu.utils import checkpoint as ckpt
+
+        if not self.config.checkpoint_folder:
+            return None
+        return ckpt.save_checkpoint(self.config.checkpoint_folder, state,
+                                    keep=self.config.checkpoints_to_keep)
+
     def train(self, state: TrainState, num_iterations: int,
-              log_fn=None) -> TrainState:
+              log_fn=None, stop_fn=None) -> TrainState:
+        """Run iterations; checkpoints every ``ts_per_save`` collected
+        steps (Learner.cpp:1011-1015).  ``stop_fn()`` True ends training
+        after a final save (the reference's 'Q' save-and-quit,
+        Learner.cpp:281-298,1005-1009)."""
+        last_save_ts = int(jax.device_get(state.total_timesteps))
         for _ in range(num_iterations):
             t0 = time.perf_counter()
             state, metrics = self.train_iteration(state)
@@ -295,4 +343,13 @@ class Trainer:
                     self.steps_per_itr * self.players_per_step / dt)
                 m["iteration_time"] = dt
                 log_fn(int(state.iterations), m)
+            ts = int(jax.device_get(state.total_timesteps))
+            if (self.config.checkpoint_folder
+                    and ts - last_save_ts >= self.config.ts_per_save):
+                self.save(state)
+                last_save_ts = ts
+            if stop_fn is not None and stop_fn():
+                break
+        if self.config.checkpoint_folder:
+            self.save(state)
         return state

@@ -85,6 +85,11 @@ def to_components(phys: PhysicsState, S=None) -> dict:
                               for i in range(3))
     d['ball_rot'] = tuple(tuple(_to_S(ball.rot[..., i, j], S)
                                 for j in range(3)) for i in range(3))
+    # Heatseeker scalars ride along untouched (the megakernel is
+    # soccar-only; the XLA path owns the other game modes)
+    d['ball_hs'] = (_to_S(ball.hs_y_target_dir, S),
+                    _to_S(ball.hs_target_speed, S),
+                    _to_S(ball.hs_time_since_hit, S))
 
     pads = arena.pads
     d['pads_active'] = jnp.swapaxes(pads.is_active, 0, 1).reshape(
@@ -139,7 +144,10 @@ def from_components(d: dict, E: int) -> PhysicsState:
                        axis=-1) for i in range(3)], axis=-2),
         vel=jnp.stack([_from_S(c, E) for c in d['ball_vel']], axis=-1),
         ang_vel=jnp.stack([_from_S(c, E) for c in d['ball_ang_vel']],
-                          axis=-1))
+                          axis=-1),
+        hs_y_target_dir=_from_S(d['ball_hs'][0], E),
+        hs_target_speed=_from_S(d['ball_hs'][1], E),
+        hs_time_since_hit=_from_S(d['ball_hs'][2], E))
 
     P = d['pads_active'].shape[0]
     pads = PadsState(

@@ -84,26 +84,56 @@ def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
     return dv, dw, j_n
 
 
-def resolve_ball_world(ball: BallState, mut: MutatorConfig):
+def resolve_ball_world(ball: BallState, mut: MutatorConfig,
+                       puck_axis=None):
     """Ball vs arena: the ROCKETSIM merged special contact.
 
-    Returns (dvel_uu (3,), dang_vel (3,), pos_push_uu (3,), touching ()).
+    ``puck_axis`` (snowday): the puck cylinder's axis in world frame.  The
+    reference collides a 20-sided cylinder mesh (Ball.cpp:53-82); here the
+    exact cylinder support distance against each plane replaces the sphere
+    radius — analytically what the dense point cloud converges to.
+
+    Returns (dvel_uu (3,), dang_vel (3,), pos_push_uu (3,), touching (),
+    navg (3,) average contact normal).
     """
-    normals, depth, active = geom.sphere_contacts(ball.pos, mut.ball_radius)
+    if puck_axis is None:
+        normals, depth, active = geom.sphere_contacts(ball.pos,
+                                                      mut.ball_radius)
+        support = jnp.full(depth.shape, mut.ball_radius)
+    else:
+        dist_p = geom.signed_distances(ball.pos)
+        valid = geom.plane_validity(ball.pos)
+        a_dot_n = jnp.einsum('i,pi->p', puck_axis, geom.PLANE_N)
+        support = (C.Snowday.PUCK_RADIUS
+                   * jnp.sqrt(jnp.maximum(1.0 - a_dot_n ** 2, 0.0))
+                   + (C.Snowday.PUCK_HEIGHT / 2) * jnp.abs(a_dot_n))
+        depth = support - dist_p
+        active = valid & (depth > 0)
+        normals = jnp.broadcast_to(geom.PLANE_N, (geom.NUM_PLANES, 3))
     num = jnp.sum(active)
     touching = num > 0
 
     navg = jnp.sum(jnp.where(active[:, None], normals, 0.0), axis=0) / (
         jnp.maximum(num, 1))
-    # rel_pos magnitude: contact point on sphere surface (~radius - depth)
-    dists = (mut.ball_radius - jnp.maximum(depth, 0.0)) * C.UU_TO_BT
+    # rel_pos magnitude: contact point on ball surface (~support - depth)
+    dists = (support - jnp.maximum(depth, 0.0)) * C.UU_TO_BT
     dist = jnp.sum(jnp.where(active, dists, 0.0)) / jnp.maximum(num, 1)
     r_bt = -navg * dist
 
     ball_inv_mass = 1.0 / mut.ball_mass
-    # Solid-sphere inertia matches bullet btSphereShape::calculateLocalInertia
-    inertia = 0.4 * mut.ball_mass * (mut.ball_radius * C.UU_TO_BT) ** 2
-    inv_iw = jnp.eye(3) / inertia
+    if puck_axis is None:
+        # Solid-sphere inertia (btSphereShape::calculateLocalInertia)
+        inertia = 0.4 * mut.ball_mass * (mut.ball_radius * C.UU_TO_BT) ** 2
+        inv_iw = jnp.eye(3) / inertia
+    else:
+        # Solid cylinder about its own axes, rotated to world
+        r_bt_len = C.Snowday.PUCK_RADIUS * C.UU_TO_BT
+        h_bt = C.Snowday.PUCK_HEIGHT * C.UU_TO_BT
+        i_axis = 0.5 * mut.ball_mass * r_bt_len ** 2
+        i_perp = mut.ball_mass * (3 * r_bt_len ** 2 + h_bt ** 2) / 12.0
+        inv_local = jnp.diag(jnp.array([1.0 / i_perp, 1.0 / i_perp,
+                                        1.0 / i_axis]))
+        inv_iw = ball.rot @ inv_local @ ball.rot.T
 
     restitution = max(mut.ball_world_restitution, C.WORLD_RESTITUTION)
     friction = min(mut.ball_world_friction, C.WORLD_FRICTION)
@@ -123,7 +153,7 @@ def resolve_ball_world(ball: BallState, mut: MutatorConfig):
     return (jnp.where(touching, dv_bt * C.BT_TO_UU, zero),
             jnp.where(touching, dw, zero),
             jnp.where(touching, push, zero),
-            touching)
+            touching, navg)
 
 
 def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
@@ -194,7 +224,7 @@ def closest_point_on_box(point, box_center, box_rot, half_extents):
 
 def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
                      half_extents, hitbox_offset, mut: MutatorConfig,
-                     inv_iw_cars, alive=None):
+                     inv_iw_cars, alive=None, game_mode: str = "soccar"):
     """Car-ball contact: physical impulse (friction 2.0, restitution 0 —
     Arena.cpp:289-291) + the psyonix extra impulse into the ball's velocity
     cache (Arena.cpp:283-334).
@@ -279,8 +309,21 @@ def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
     rel_v = ball.vel - cars.vel
     rel_speed = jnp.minimum(m.norm(rel_v),
                             C.BALL_CAR_EXTRA_IMPULSE_MAXDELTAVEL_UU)
-    z_scale = C.BALL_CAR_EXTRA_IMPULSE_Z_SCALE
-    hit_dir = m.normalize(rel_pos * jnp.array([1.0, 1.0, z_scale]))
+    if game_mode == "hoops":
+        # Hoops boosts the z component for grounded upright cars
+        # (Arena.cpp:318-322)
+        extra_z = cars.is_on_ground & (
+            cars.up[:, 2] > C.BALL_CAR_EXTRA_IMPULSE_Z_SCALE_HOOPS_NORMAL_Z_THRESH)
+        z_scale = jnp.where(extra_z,
+                            C.BALL_CAR_EXTRA_IMPULSE_Z_SCALE_HOOPS_GROUND,
+                            C.BALL_CAR_EXTRA_IMPULSE_Z_SCALE)[:, None]
+        hit_dir = m.normalize(
+            rel_pos * jnp.concatenate(
+                [jnp.ones_like(z_scale), jnp.ones_like(z_scale), z_scale],
+                axis=-1))
+    else:
+        z_scale = C.BALL_CAR_EXTRA_IMPULSE_Z_SCALE
+        hit_dir = m.normalize(rel_pos * jnp.array([1.0, 1.0, z_scale]))
     fwd = cars.forward
     fwd_adj = fwd * (m.dot(hit_dir, fwd)
                      * (1.0 - C.BALL_CAR_EXTRA_IMPULSE_FORWARD_SCALE))[:, None]

@@ -108,6 +108,11 @@ class BallState:
     rot: jnp.ndarray      # (3, 3)
     vel: jnp.ndarray      # (3,)
     ang_vel: jnp.ndarray  # (3,)
+    # Heatseeker mode state (reference: BallState::HeatseekerInfo,
+    # Ball.h:26-36); zeros/initial in other modes.
+    hs_y_target_dir: jnp.ndarray     # () f32: -1, 0 (no target) or +1
+    hs_target_speed: jnp.ndarray     # () f32
+    hs_time_since_hit: jnp.ndarray   # () f32
 
 
 @struct.dataclass
@@ -167,6 +172,23 @@ class MutatorConfig:
     demo_mode: str = "NORMAL"  # NORMAL | ON_CONTACT | DISABLED
     enable_team_demos: bool = False
     goal_base_threshold_y: float = C.SOCCAR_GOAL_SCORE_BASE_THRESHOLD_Y
+
+    @classmethod
+    def for_mode(cls, game_mode: str) -> "MutatorConfig":
+        """Game-mode defaults (reference: MutatorConfig::MutatorConfig,
+        MutatorConfig.cpp:5-34)."""
+        kw = {}
+        if game_mode == "hoops":
+            kw["ball_radius"] = C.BALL_COLLISION_RADIUS_HOOPS
+        elif game_mode == "snowday":
+            kw["ball_radius"] = C.Snowday.PUCK_RADIUS
+            kw["ball_world_friction"] = C.Snowday.PUCK_FRICTION
+            kw["ball_world_restitution"] = C.Snowday.PUCK_RESTITUTION
+            kw["ball_mass"] = C.Snowday.PUCK_MASS_BT
+        if game_mode == "heatseeker":
+            kw["car_spawn_boost_amount"] = 100.0
+            kw["boost_used_per_second"] = 0.0
+        return cls(**kw)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -257,22 +279,29 @@ def make_ball_state() -> BallState:
         rot=jnp.eye(3, dtype=jnp.float32),
         vel=jnp.zeros(3, jnp.float32),
         ang_vel=jnp.zeros(3, jnp.float32),
+        hs_y_target_dir=jnp.zeros((), jnp.float32),
+        hs_target_speed=jnp.full((), C.Heatseeker.INITIAL_TARGET_SPEED,
+                                 jnp.float32),
+        hs_time_since_hit=jnp.zeros((), jnp.float32),
     )
 
 
-def make_pads_state() -> PadsState:
+def make_pads_state(game_mode: str = "soccar") -> PadsState:
+    n = (C.NUM_BOOST_PADS_HOOPS if game_mode == "hoops"
+         else C.NUM_BOOST_PADS)
     return PadsState(
-        is_active=jnp.ones((C.NUM_BOOST_PADS,), bool),
-        cooldown=jnp.zeros((C.NUM_BOOST_PADS,), jnp.float32),
+        is_active=jnp.ones((n,), bool),
+        cooldown=jnp.zeros((n,), jnp.float32),
     )
 
 
 def make_arena_state(num_cars: int,
-                     mutators: MutatorConfig | None = None) -> ArenaState:
+                     mutators: MutatorConfig | None = None,
+                     game_mode: str = "soccar") -> ArenaState:
     return ArenaState(
         cars=make_cars_state(num_cars, mutators),
         ball=make_ball_state(),
-        pads=make_pads_state(),
+        pads=make_pads_state(game_mode),
         tick_count=jnp.zeros((), jnp.int32),
         goal_scored=jnp.zeros((), bool),
         step_bump=jnp.zeros((num_cars,), bool),

@@ -59,11 +59,22 @@ class PhysicsState:
 
 @dataclasses.dataclass(frozen=True)
 class ArenaParams:
-    """Static (compile-time) arena configuration."""
+    """Static (compile-time) arena configuration.
+
+    ``game_mode``: soccar | hoops | heatseeker | snowday (reference:
+    GameMode.h).  Mode-specific physics compiles in only when selected.
+    Pass ``mutators=MutatorConfig.for_mode(game_mode)`` (or leave None) to
+    get the reference's mode defaults (MutatorConfig.cpp:5-34)."""
     num_cars: int
-    mutators: MutatorConfig = MutatorConfig()
+    mutators: MutatorConfig = None
     car_config: CarConfig = CarConfig()
     tick_rate: float = 120.0
+    game_mode: str = "soccar"
+
+    def __post_init__(self):
+        if self.mutators is None:
+            object.__setattr__(self, "mutators",
+                               MutatorConfig.for_mode(self.game_mode))
 
     @property
     def dt(self) -> float:
@@ -72,7 +83,8 @@ class ArenaParams:
 
 def make_physics_state(params: ArenaParams) -> PhysicsState:
     return PhysicsState(
-        arena=make_arena_state(params.num_cars, params.mutators),
+        arena=make_arena_state(params.num_cars, params.mutators,
+                               params.game_mode),
         wheels=WheelControlsState.make(params.num_cars))
 
 
@@ -84,12 +96,15 @@ def clamp_controls(controls: jnp.ndarray) -> jnp.ndarray:
 
 
 def _respawn_cars(cars: CarsState, teams, respawn_mask, key,
-                  mut: MutatorConfig, num_cars: int) -> CarsState:
+                  mut: MutatorConfig, num_cars: int,
+                  game_mode: str = "soccar") -> CarsState:
     """Car::Respawn (Car.cpp:43-56): fresh default state at a random respawn
     location, mirrored for orange."""
     idx = jax.random.randint(key, (num_cars,), 0,
                              C.CAR_RESPAWN_LOCATION_AMOUNT)
-    table = jnp.asarray(C.CAR_RESPAWN_LOCATIONS_SOCCAR)
+    table = jnp.asarray(C.CAR_RESPAWN_LOCATIONS_HOOPS
+                        if game_mode == "hoops"
+                        else C.CAR_RESPAWN_LOCATIONS_SOCCAR)
     spawn = table[idx]  # (C, 3): x, y, yaw
     team_sign = jnp.where(teams == 0, 1.0, -1.0)
     pos = jnp.stack([spawn[:, 0], spawn[:, 1] * team_sign,
@@ -172,7 +187,8 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     respawn_now = cars.is_demoed & (demo_timer == 0.0)
     cars = cars.replace(demo_respawn_timer=demo_timer)
     key, krespawn = jax.random.split(key)
-    cars = _respawn_cars(cars, teams, respawn_now, krespawn, mut, num_cars)
+    cars = _respawn_cars(cars, teams, respawn_now, krespawn, mut, num_cars,
+                         params.game_mode)
     alive = ~cars.is_demoed
     # Frozen snapshot: demoed cars keep exactly this state this tick
     frozen_cars = cars
@@ -269,6 +285,10 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     cars = cars.replace(vel=cars.vel + total_accel * dt,
                         ang_vel=cars.ang_vel + total_ang_accel * dt)
 
+    # Ball pre-tick (Ball::_PreTickUpdate, Ball.cpp:152-201)
+    if params.game_mode == "heatseeker":
+        ball = _heatseeker_steer(ball, dt)
+
     # Ball: sleeping + gravity + drag (Arena.cpp:721-727, Ball.cpp:95-98)
     ball_awake = (m.norm(ball.vel) > 0) | (m.norm(ball.ang_vel) > 0)
     drag = (1.0 - mut.ball_drag) ** dt
@@ -291,15 +311,34 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     cb_car_dv, cb_car_dw, cb_ball_dv, cb_ball_dw, ball_cache_dv, \
         hit_updates, ball_touched = contacts.resolve_car_ball(
             cars, ball, arena.tick_count, half_extents, hitbox_offset, mut,
-            inv_iw, alive)
+            inv_iw, alive, params.game_mode)
     cars = cars.replace(vel=cars.vel + cb_car_dv,
                         ang_vel=cars.ang_vel + cb_car_dw, **hit_updates)
     ball = ball.replace(vel=ball.vel + cb_ball_dv,
                         ang_vel=ball.ang_vel + cb_ball_dw)
 
+    # Ball::_OnHit (heatseeker target/speedup, Ball.cpp:203-216)
+    if params.game_mode == "heatseeker":
+        ball = _heatseeker_on_hit(ball, ball_touched & alive, teams, dt)
+
     # ball-world (merged special contact)
-    bw_dv, bw_dw, bw_push, _ = contacts.resolve_ball_world(ball, mut)
+    puck_axis = ball.rot[:, 2] if params.game_mode == "snowday" else None
+    bw_dv, bw_dw, bw_push, bw_touch, bw_normal = contacts.resolve_ball_world(
+        ball, mut, puck_axis)
     ball = ball.replace(vel=ball.vel + bw_dv, ang_vel=ball.ang_vel + bw_dw)
+
+    # Ball::_OnWorldCollision (Ball.cpp:218-252)
+    if params.game_mode == "heatseeker":
+        ball, hs_bounce_dv = _heatseeker_wall_bounce(ball, bw_touch,
+                                                     bw_normal)
+        ball_cache_dv = ball_cache_dv + hs_bounce_dv
+    elif params.game_mode == "snowday":
+        # Puck ground stick: central force -normal * 70 (BT), once per tick
+        stick_dv = jnp.where(
+            bw_touch, -bw_normal * (C.Snowday.PUCK_GROUND_STICK_FORCE
+                                    / mut.ball_mass * dt * C.BT_TO_UU),
+            jnp.zeros(3))
+        ball = ball.replace(vel=ball.vel + stick_dv)
 
     # car-car (+bump/demo); masks demoed cars internally
     if num_cars > 1:
@@ -368,10 +407,14 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
 
     # --- boost pad pickup (BoostPad.cpp:62-105)
     pads, cars = _pads_check_and_pickup(pads, cars, alive, half_extents,
-                                        hitbox_offset, mut)
+                                        hitbox_offset, mut,
+                                        params.game_mode)
 
-    goal = geom.is_ball_scored(ball.pos, mut.ball_radius,
-                               mut.goal_base_threshold_y)
+    if params.game_mode == "hoops":
+        goal = _is_ball_scored_hoops(ball.pos)
+    else:
+        goal = geom.is_ball_scored(ball.pos, mut.ball_radius,
+                                   mut.goal_base_threshold_y)
 
     # Event latches: bump/demo vs the opposing team only (EnvSet.cpp:31-42)
     opp = teams[:, None] != teams[None, :]
@@ -388,8 +431,126 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     return PhysicsState(arena=arena, wheels=new_wc)
 
 
+def _wrap(x, minmax):
+    """Math::WrapNormalizeFloat (Math.cpp:66-73)."""
+    r = jnp.fmod(x, minmax * 2)
+    r = jnp.where(r > minmax, r - minmax * 2, r)
+    return jnp.where(r < -minmax, r + minmax * 2, r)
+
+
+def _round_angle_ue3(ang):
+    """Math::RoundAngleUE3 (Math.cpp:75-88): UE3 rotator quantization."""
+    to_ints = float(1 << 15) / jnp.pi
+    back = (1.0 / to_ints) * 4.0
+    r = (ang * to_ints).astype(jnp.int32) >> 2
+    return (r & (0x4000 - 1)).astype(jnp.float32) * back
+
+
+def _heatseeker_steer(ball: BallState, dt: float) -> BallState:
+    """Ball::_PreTickUpdate heatseeker branch (Ball.cpp:153-200): rotate
+    the velocity toward the target goal point and blend the speed."""
+    HS = C.Heatseeker
+    ytd = ball.hs_y_target_dir
+    active = ytd != 0
+
+    vel = ball.vel
+    speed = m.norm(vel)
+    d2 = jnp.sqrt(vel[0] ** 2 + vel[1] ** 2)
+    v_yaw = jnp.arctan2(vel[1], vel[0])
+    v_pitch = jnp.arctan2(vel[2], d2)
+
+    target = jnp.array([0.0, 1.0, 0.0]) * (HS.TARGET_Y * ytd) + jnp.array(
+        [0.0, 0.0, HS.TARGET_Z])
+    to_goal = target - ball.pos
+    g_d2 = jnp.sqrt(to_goal[0] ** 2 + to_goal[1] ** 2)
+    g_yaw = jnp.arctan2(to_goal[1], to_goal[0])
+    g_pitch = jnp.arctan2(to_goal[2], g_d2)
+
+    # Angle::GetDeltaTo wraps yaw to +-pi and pitch to +-pi/2
+    d_yaw = _wrap(g_yaw - v_yaw, jnp.pi)
+    d_pitch = _wrap(g_pitch - v_pitch, jnp.pi / 2)
+
+    f = (speed / HS.MAX_SPEED) * dt
+    new_yaw = v_yaw + d_yaw * f * HS.HORIZONTAL_BLEND
+    new_pitch = v_pitch + d_pitch * f * HS.VERTICAL_BLEND
+    new_yaw = _wrap(new_yaw, jnp.pi)
+    new_pitch = jnp.clip(_wrap(new_pitch, jnp.pi / 2),
+                         -HS.MAX_TURN_PITCH, HS.MAX_TURN_PITCH)
+    new_yaw = _round_angle_ue3(new_yaw)
+    new_pitch = _round_angle_ue3(new_pitch)
+
+    new_speed = speed + (ball.hs_target_speed - speed) * HS.SPEED_BLEND
+    cp, sp = jnp.cos(new_pitch), jnp.sin(new_pitch)
+    new_vel = jnp.array(1.0) * jnp.stack(
+        [cp * jnp.cos(new_yaw), cp * jnp.sin(new_yaw), sp]) * new_speed
+
+    return ball.replace(
+        vel=jnp.where(active, new_vel, ball.vel),
+        hs_time_since_hit=jnp.where(active,
+                                    ball.hs_time_since_hit + dt,
+                                    ball.hs_time_since_hit))
+
+
+def _heatseeker_on_hit(ball: BallState, touched, teams, dt: float
+                       ) -> BallState:
+    """Ball::_OnHit heatseeker branch (Ball.cpp:204-216).  Contacts fire
+    per car in index order; the last toucher's write wins."""
+    HS = C.Heatseeker
+    any_touch = jnp.any(touched)
+    n = touched.shape[0]
+    last = jnp.argmax(jnp.where(touched, jnp.arange(n), -1))
+    new_dir = jnp.where(teams[last] == 0, 1.0, -1.0)
+
+    can_increase = ((ball.hs_time_since_hit > HS.MIN_SPEEDUP_INTERVAL)
+                    | (ball.hs_y_target_dir == 0))
+    speedup = any_touch & can_increase & (new_dir != ball.hs_y_target_dir)
+    return ball.replace(
+        hs_time_since_hit=jnp.where(speedup, 0.0, ball.hs_time_since_hit),
+        hs_target_speed=jnp.where(
+            speedup,
+            jnp.minimum(ball.hs_target_speed + HS.TARGET_SPEED_INCREMENT,
+                        HS.MAX_SPEED),
+            ball.hs_target_speed),
+        hs_y_target_dir=jnp.where(any_touch, new_dir,
+                                  ball.hs_y_target_dir))
+
+
+def _heatseeker_wall_bounce(ball: BallState, touching, normal):
+    """Ball::_OnWorldCollision heatseeker branch (Ball.cpp:220-246): deep
+    backwall hits flip the target and add a goal-ward bounce impulse (into
+    the velocity cache).  Returns (ball, cache_dv)."""
+    HS = C.Heatseeker
+    ytd = ball.hs_y_target_dir
+    rel_normal_y = normal[1] * ytd
+    rel_y = ball.pos[1] * ytd
+    flip = (touching & (ytd != 0)
+            & (rel_normal_y <= -HS.WALL_BOUNCE_CHANGE_Y_NORMAL)
+            & (rel_y >= C.ARENA_EXTENT_Y - HS.WALL_BOUNCE_CHANGE_Y_THRESH))
+    new_ytd = jnp.where(flip, -ytd, ytd)
+    target = jnp.array([0.0, 1.0, 0.0]) * (HS.TARGET_Y * new_ytd) + \
+        jnp.array([0.0, 0.0, HS.TARGET_Z])
+    dir_to_goal = m.normalize(target - ball.pos)
+    bounce_dir = (dir_to_goal * (1.0 - HS.WALL_BOUNCE_UP_FRAC)
+                  + jnp.array([0.0, 0.0, 1.0]) * HS.WALL_BOUNCE_UP_FRAC)
+    cache_dv = jnp.where(flip,
+                         bounce_dir * m.norm(ball.vel)
+                         * HS.WALL_BOUNCE_FORCE_SCALE,
+                         jnp.zeros(3))
+    return ball.replace(hs_y_target_dir=new_ytd), cache_dv
+
+
+def _is_ball_scored_hoops(ball_pos):
+    """Arena::IsBallScored hoops branch (Arena.cpp:958-971): below the rim
+    height and within the basket's xy region."""
+    below = ball_pos[2] < C.HOOPS_GOAL_SCORE_THRESHOLD_Z
+    dy = jnp.abs(ball_pos[1]) * C.HOOPS_GOAL_SCALE_Y - C.HOOPS_GOAL_OFFSET_Y
+    dist_sq = ball_pos[0] ** 2 + dy ** 2
+    return below & (dist_sq < C.HOOPS_GOAL_RADIUS ** 2)
+
+
 def _pads_check_and_pickup(pads, cars: CarsState, alive, half_extents,
-                           hitbox_offset, mut: MutatorConfig):
+                           hitbox_offset, mut: MutatorConfig,
+                           game_mode: str = "soccar"):
     """Boost pad collision + pickup.
 
     Simplification vs reference: the reference locks a pad to the previous
@@ -397,8 +558,12 @@ def _pads_check_and_pickup(pads, cars: CarsState, alive, half_extents,
     is tested with the cylinder volume (the hysteresis only widens the
     pickup box for a car already sitting on the pad).
     """
-    locs = jnp.asarray(C.BOOST_PAD_LOCS_SOCCAR)   # (34, 3)
-    is_big = jnp.asarray(C.BOOST_PAD_IS_BIG)
+    if game_mode == "hoops":
+        locs = jnp.asarray(C.BOOST_PAD_LOCS_HOOPS)   # (20, 3)
+        is_big = jnp.asarray(C.BOOST_PAD_IS_BIG_HOOPS)
+    else:
+        locs = jnp.asarray(C.BOOST_PAD_LOCS_SOCCAR)  # (34, 3)
+        is_big = jnp.asarray(C.BOOST_PAD_IS_BIG)
     cyl_rad = jnp.where(is_big, C.BoostPads.CYL_RAD_BIG,
                         C.BoostPads.CYL_RAD_SMALL)
 
