@@ -65,12 +65,48 @@ CORNER0 = 6
 GOAL_XN, GOAL_XP, GOAL_CEIL, NET_YN, NET_YP = 10, 11, 12, 13, 14
 
 
-def plane_validity(pos: jnp.ndarray) -> jnp.ndarray:
-    """(..., NUM_PLANES) bool: which planes can act on a query at ``pos``.
+# --- hoops arena plane table ------------------------------------------------
+# The hoops arena ("Dunk House", reference extents RLConst.h:18-20) is a
+# rounded rectangle with solid walls (no goal openings; the baskets are
+# inside the volume and scoring is positional, Arena.cpp:958-971).  The
+# rounded corners are approximated by 45-degree cuts sized proportionally
+# to the soccar corner cut (real hoops meshes replace this when supplied
+# to physics/mesh.py).
+_HOOPS_CORNER_CUT = 1152.0 * (C.ARENA_EXTENT_X_HOOPS / C.ARENA_EXTENT_X)
+_HOOPS_CORNER_INTERCEPT = (C.ARENA_EXTENT_X_HOOPS + C.ARENA_EXTENT_Y_HOOPS
+                           - _HOOPS_CORNER_CUT)
+_PLANES_HOOPS = np.array([
+    [0, 0, 1, 0],
+    [0, 0, -1, C.ARENA_HEIGHT_HOOPS],
+    [1, 0, 0, C.ARENA_EXTENT_X_HOOPS],
+    [-1, 0, 0, C.ARENA_EXTENT_X_HOOPS],
+    [0, 1, 0, C.ARENA_EXTENT_Y_HOOPS],
+    [0, -1, 0, C.ARENA_EXTENT_Y_HOOPS],
+    [_SQ2, _SQ2, 0, _HOOPS_CORNER_INTERCEPT * _SQ2],
+    [-_SQ2, _SQ2, 0, _HOOPS_CORNER_INTERCEPT * _SQ2],
+    [_SQ2, -_SQ2, 0, _HOOPS_CORNER_INTERCEPT * _SQ2],
+    [-_SQ2, -_SQ2, 0, _HOOPS_CORNER_INTERCEPT * _SQ2],
+], dtype=np.float32)
+PLANE_N_HOOPS = jnp.asarray(_PLANES_HOOPS[:, :3])
+PLANE_D_HOOPS = jnp.asarray(_PLANES_HOOPS[:, 3])
 
-    The back wall is cut out over the goal opening; the goal-box planes act
-    only near/inside the goal.
+
+def get_planes(mode: str = "soccar"):
+    """(PLANE_N, PLANE_D) for a game mode's arena (soccar geometry also
+    serves heatseeker and snowday, like the reference's mesh selection)."""
+    if mode == "hoops":
+        return PLANE_N_HOOPS, PLANE_D_HOOPS
+    return PLANE_N, PLANE_D
+
+
+def plane_validity(pos: jnp.ndarray, mode: str = "soccar") -> jnp.ndarray:
+    """(..., P) bool: which planes can act on a query at ``pos``.
+
+    The soccar back wall is cut out over the goal opening; the goal-box
+    planes act only near/inside the goal.  Hoops planes are unconditional.
     """
+    if mode == "hoops":
+        return jnp.ones(pos.shape[:-1] + (PLANE_N_HOOPS.shape[0],), bool)
     x, y, z = pos[..., 0], pos[..., 1], pos[..., 2]
     in_goal_xz = (jnp.abs(x) < C.GOAL_HALF_WIDTH) & (z < C.GOAL_HEIGHT)
     behind_wall = jnp.abs(y) > C.ARENA_EXTENT_Y
@@ -88,24 +124,27 @@ def plane_validity(pos: jnp.ndarray) -> jnp.ndarray:
     return valid
 
 
-def signed_distances(pos: jnp.ndarray) -> jnp.ndarray:
-    """(..., NUM_PLANES) signed distance of ``pos`` to each plane (positive
-    = inside the arena)."""
-    return jnp.einsum('...i,pi->...p', pos, PLANE_N) + PLANE_D
+def signed_distances(pos: jnp.ndarray, mode: str = "soccar") -> jnp.ndarray:
+    """(..., P) signed distance of ``pos`` to each plane (positive =
+    inside the arena)."""
+    pn, pd = get_planes(mode)
+    return jnp.einsum('...i,pi->...p', pos, pn) + pd
 
 
-def sphere_contacts(pos: jnp.ndarray, radius: float):
+def sphere_contacts(pos: jnp.ndarray, radius: float,
+                    mode: str = "soccar"):
     """Sphere-vs-arena contacts.
 
     Returns (normal (..., P, 3), depth (..., P), active (..., P)): for each
     plane, penetration depth (>0 means touching) and whether the contact is
     active.
     """
-    dist = signed_distances(pos)
-    valid = plane_validity(pos)
+    pn, _ = get_planes(mode)
+    dist = signed_distances(pos, mode)
+    valid = plane_validity(pos, mode)
     depth = radius - dist
     active = valid & (depth > 0)
-    normals = jnp.broadcast_to(PLANE_N, pos.shape[:-1] + (NUM_PLANES, 3))
+    normals = jnp.broadcast_to(pn, pos.shape[:-1] + pn.shape)
     return normals, depth, active
 
 
@@ -145,7 +184,8 @@ def box_contacts(pos: jnp.ndarray, rot: jnp.ndarray,
 
 
 def raycast_down_dir(start: jnp.ndarray, direction: jnp.ndarray,
-                     max_len) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                     max_len, mode: str = "soccar"
+                     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Raycast against the arena planes.
 
     start: (..., 3), direction: (..., 3) unit, max_len: scalar or (...,).
@@ -153,16 +193,17 @@ def raycast_down_dir(start: jnp.ndarray, direction: jnp.ndarray,
     no hit.  Mirrors the suspension raycast the reference does against the
     world meshes (btVehicleRL.cpp:118-212) for the planar arena model.
     """
-    dist_p = signed_distances(start)                       # (..., P)
-    valid = plane_validity(start)
-    denom = -jnp.einsum('...i,pi->...p', direction, PLANE_N)  # approach rate
+    pn, _ = get_planes(mode)
+    dist_p = signed_distances(start, mode)                 # (..., P)
+    valid = plane_validity(start, mode)
+    denom = -jnp.einsum('...i,pi->...p', direction, pn)    # approach rate
     t = jnp.where(denom > 1e-6, dist_p / jnp.maximum(denom, 1e-6), jnp.inf)
     t = jnp.where(valid & (t >= 0), t, jnp.inf)
     t_min = jnp.min(t, axis=-1)
     idx = jnp.argmin(t, axis=-1)
     hit = t_min <= max_len
     dist = jnp.where(hit, t_min, max_len)
-    normal = PLANE_N[idx]
+    normal = pn[idx]
     return hit, dist, normal
 
 

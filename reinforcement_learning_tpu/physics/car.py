@@ -96,7 +96,8 @@ class WheelRaycast:
 
 
 def wheel_raycasts(cars: CarsState, cfg: CarConfig, mut: MutatorConfig,
-                   dt: float, inv_inertia_ws) -> WheelRaycast:
+                   dt: float, inv_inertia_ws,
+                   game_mode: str = "soccar") -> WheelRaycast:
     offsets = jnp.asarray(cfg.wheel_offsets())      # (4, 3)
     radii = jnp.asarray(cfg.wheel_radii())          # (4,)
     rest_len = jnp.asarray(cfg.sus_rest_lengths())  # (4,)
@@ -113,7 +114,7 @@ def wheel_raycasts(cars: CarsState, cfg: CarConfig, mut: MutatorConfig,
     ray_len = rest_len + travel + radii - sus_sub_uu
     hit, dist, normal = geom.raycast_down_dir(
         hard_point, jnp.broadcast_to(wheel_dir, hard_point.shape),
-        ray_len[None, :])
+        ray_len[None, :], game_mode)
 
     contact_point = hard_point + wheel_dir * dist[..., None]
     # wheelTraceLen = (hardPoint - contactPoint) . up  (btVehicleRL.cpp:154)

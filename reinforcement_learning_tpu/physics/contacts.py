@@ -85,7 +85,7 @@ def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
 
 
 def resolve_ball_world(ball: BallState, mut: MutatorConfig,
-                       puck_axis=None):
+                       puck_axis=None, game_mode: str = "soccar"):
     """Ball vs arena: the ROCKETSIM merged special contact.
 
     ``puck_axis`` (snowday): the puck cylinder's axis in world frame.  The
@@ -98,18 +98,20 @@ def resolve_ball_world(ball: BallState, mut: MutatorConfig,
     """
     if puck_axis is None:
         normals, depth, active = geom.sphere_contacts(ball.pos,
-                                                      mut.ball_radius)
+                                                      mut.ball_radius,
+                                                      game_mode)
         support = jnp.full(depth.shape, mut.ball_radius)
     else:
-        dist_p = geom.signed_distances(ball.pos)
-        valid = geom.plane_validity(ball.pos)
-        a_dot_n = jnp.einsum('i,pi->p', puck_axis, geom.PLANE_N)
+        pn, _ = geom.get_planes(game_mode)
+        dist_p = geom.signed_distances(ball.pos, game_mode)
+        valid = geom.plane_validity(ball.pos, game_mode)
+        a_dot_n = jnp.einsum('i,pi->p', puck_axis, pn)
         support = (C.Snowday.PUCK_RADIUS
                    * jnp.sqrt(jnp.maximum(1.0 - a_dot_n ** 2, 0.0))
                    + (C.Snowday.PUCK_HEIGHT / 2) * jnp.abs(a_dot_n))
         depth = support - dist_p
         active = valid & (depth > 0)
-        normals = jnp.broadcast_to(geom.PLANE_N, (geom.NUM_PLANES, 3))
+        normals = jnp.broadcast_to(pn, pn.shape)
     num = jnp.sum(active)
     touching = num > 0
 
@@ -157,7 +159,8 @@ def resolve_ball_world(ball: BallState, mut: MutatorConfig,
 
 
 def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
-                      mut: MutatorConfig, inv_iw):
+                      mut: MutatorConfig, inv_iw,
+                      game_mode: str = "soccar"):
     """Car hitbox vs arena planes.
 
     Per plane: centroid of penetrating hitbox corners as the contact point.
@@ -177,8 +180,9 @@ def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
     corners = box_center[:, None, :] + m.rotate(cars.rot[:, None], corners_local)
 
     # (C, 8, P) signed distance of each corner to each plane
-    d = jnp.einsum('cki,pi->ckp', corners, geom.PLANE_N) + geom.PLANE_D
-    valid = geom.plane_validity(cars.pos)  # (C, P)
+    pn, pd = geom.get_planes(game_mode)
+    d = jnp.einsum('cki,pi->ckp', corners, pn) + pd
+    valid = geom.plane_validity(cars.pos, game_mode)  # (C, P)
     pen = -d  # > 0 when corner is behind the plane
     corner_active = valid[:, None, :] & (pen > 0)
 
@@ -194,7 +198,7 @@ def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
 
     # Resolve each active plane contact (independent/jacobi over planes;
     # simultaneous multi-plane car contacts are rare outside corners)
-    n = jnp.broadcast_to(geom.PLANE_N, centroid.shape)  # (C, P, 3)
+    n = jnp.broadcast_to(pn, centroid.shape)  # (C, P, 3)
     r_bt = (centroid - cars.pos[:, None, :]) * C.UU_TO_BT
     dv_bt, dw, _ = _contact_impulse_vs_static(
         cars.vel[:, None, :] * C.UU_TO_BT,

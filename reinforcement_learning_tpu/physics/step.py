@@ -200,7 +200,8 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     inv_iw = carmod.inv_inertia_world(cars.rot, inv_i_local)
 
     # --- updateVehicleFirst: raycasts + stale friction impulses
-    rc = carmod.wheel_raycasts(cars, cfg, mut, dt, inv_iw)
+    rc = carmod.wheel_raycasts(cars, cfg, mut, dt, inv_iw,
+                               params.game_mode)
     wheel_impulses = carmod.calc_friction_impulses(cars, rc, wc, mut, dt,
                                                    inv_iw)
 
@@ -298,7 +299,7 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
 
     # --- contacts (rotations unchanged so inv_iw is still valid)
     cw_dv, cw_dw, cw_push, cw_contact, cw_normal = contacts.resolve_car_world(
-        cars, half_extents, hitbox_offset, mut, inv_iw)
+        cars, half_extents, hitbox_offset, mut, inv_iw, params.game_mode)
     cars = cars.replace(
         vel=cars.vel + cw_dv,
         ang_vel=cars.ang_vel + cw_dw,
@@ -324,7 +325,7 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     # ball-world (merged special contact)
     puck_axis = ball.rot[:, 2] if params.game_mode == "snowday" else None
     bw_dv, bw_dw, bw_push, bw_touch, bw_normal = contacts.resolve_ball_world(
-        ball, mut, puck_axis)
+        ball, mut, puck_axis, params.game_mode)
     ball = ball.replace(vel=ball.vel + bw_dv, ang_vel=ball.ang_vel + bw_dw)
 
     # Ball::_OnWorldCollision (Ball.cpp:218-252)

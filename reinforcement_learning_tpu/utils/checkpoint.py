@@ -99,3 +99,27 @@ def load_latest(folder: str, template_state):
     with open(os.path.join(path, "RUNNING_STATS.json")) as f:
         stats = json.load(f)
     return state, stats
+
+
+# ---------------------------------------------------------------------------
+# Env-state snapshots (the reference's binary arena serialization,
+# Arena::Serialize/DeserializeNew Arena.h:114-117 + DataStream/): here any
+# env/physics pytree round-trips through one flat .npz.
+
+def save_env_state(path: str, state) -> None:
+    """Snapshot an env/arena state pytree (any nesting of arrays) to
+    ``path`` (.npz)."""
+    leaves, treedef = jax.tree_util.tree_flatten(jax.device_get(state))
+    np.savez_compressed(path, __treedef__=np.frombuffer(
+        repr(treedef).encode(), dtype=np.uint8),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def load_env_state(path: str, template_state):
+    """Restore a snapshot saved by ``save_env_state``; ``template_state``
+    supplies the pytree structure (shapes/dtypes are taken from the
+    file)."""
+    data = np.load(path)
+    treedef = jax.tree_util.tree_structure(template_state)
+    leaves = [data[f"leaf_{i}"] for i in range(treedef.num_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

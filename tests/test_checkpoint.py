@@ -71,3 +71,22 @@ def test_converter_roundtrip(trainer, tmp_path):
     np.testing.assert_allclose(params["policy"]["out"]["w"],
                                np.asarray(orig.policy["out"]["w"]),
                                atol=1e-6)
+
+
+def test_env_state_snapshot_roundtrip(tmp_path):
+    """Arena/env state serialization (the reference's Arena::Serialize
+    equivalent, Arena.h:114-117): bit-exact npz round-trip."""
+    import jax
+    import numpy as np
+    from reinforcement_learning_tpu.envs.env import (EnvConfig,
+                                                     RocketLeagueEnv)
+    from reinforcement_learning_tpu.utils import checkpoint as ckpt
+
+    env = RocketLeagueEnv(EnvConfig(num_envs=2, team_size=1))
+    states, _, _ = env.reset(jax.random.PRNGKey(7))
+    p = str(tmp_path / "env_state.npz")
+    ckpt.save_env_state(p, states)
+    back = ckpt.load_env_state(p, states)
+    for a, b in zip(jax.tree_util.tree_leaves(states),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -140,3 +140,18 @@ def test_soccar_unaffected_by_mode_plumbing():
     phys = setter(jax.random.PRNGKey(2), params, teams)
     assert float(phys.arena.ball.pos[2]) == pytest.approx(C.BALL_REST_Z)
     assert float(m.norm(phys.arena.ball.vel)) == 0.0
+
+
+def test_hoops_arena_geometry():
+    """Hoops uses its own (smaller) plane set: a query outside the hoops
+    side wall but inside the soccar arena contacts in hoops only."""
+    from reinforcement_learning_tpu.physics import arena_geom as geom
+    pos = jnp.asarray([C.ARENA_EXTENT_X_HOOPS - 50.0, 0.0, 500.0])
+    _, _, act_h = geom.sphere_contacts(pos, 96.4, "hoops")
+    _, _, act_s = geom.sphere_contacts(pos, 96.4, "soccar")
+    assert bool(jnp.any(act_h))
+    assert not bool(jnp.any(act_s))
+    # hoops ceiling is lower
+    top = jnp.asarray([0.0, 0.0, C.ARENA_HEIGHT_HOOPS - 50.0])
+    _, _, act_top = geom.sphere_contacts(top, 96.4, "hoops")
+    assert bool(jnp.any(act_top))
