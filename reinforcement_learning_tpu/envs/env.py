@@ -283,6 +283,13 @@ class RocketLeagueEnv:
         """Returns (states, obs (N,P,D), masks (N,P,A))."""
         keys = jax.random.split(key, self.config.num_envs)
         states = jax.vmap(self._reset_one)(keys)
+        # Strip weak_type from every leaf: step() outputs are strongly
+        # typed, and a weak-typed leaf here would make the first
+        # post-reset jit signature differ from the steady-state one,
+        # silently recompiling the (expensive) train iteration once.
+        states = jax.tree.map(
+            lambda a: a.astype(a.dtype) if isinstance(a, jnp.ndarray) else a,
+            states)
         obs = jax.vmap(self._obs_one)(states)
         masks = jax.vmap(self._mask_one)(states)
         return states, obs, masks

@@ -65,7 +65,8 @@ def kickoff_state(fuzz: float = 0.0):
         cars = phys.arena.cars.replace(
             pos=pos, rot=m.euler_to_rotmat(yaw),
             boost=jnp.full(teams.shape,
-                           params.mutators.car_spawn_boost_amount))
+                           params.mutators.car_spawn_boost_amount,
+                           jnp.float32))
         ball = phys.arena.ball
         # Mode-specific kickoff ball state (Arena.cpp:196-208)
         if params.game_mode == "heatseeker":
