@@ -1,0 +1,119 @@
+"""Scenario battery: reference oracle vs JAX engine, reporting per-scenario
+max divergence.  Run: python -m tools.parity_battery [T]
+
+Each scenario teacher-starts from an explicit state and runs T ticks of
+scripted controls through BOTH engines; errors are max over the trace.
+"""
+import sys
+
+import numpy as np
+
+from tools import parity
+
+
+def C(**kw):
+    return parity.CarInit(**kw)
+
+
+def ctrl(T, n_cars=1, **cols):
+    """columns: throttle steer pitch yaw roll jump boost handbrake; each a
+    scalar or (T,) array."""
+    names = ["throttle", "steer", "pitch", "yaw", "roll", "jump", "boost",
+             "handbrake"]
+    u = np.zeros((T, n_cars, 8), np.float32)
+    for k, v in cols.items():
+        u[:, :, names.index(k)] = np.asarray(v, np.float32).reshape(-1, 1)
+    return u
+
+
+def scenarios(T):
+    S = parity.Scenario
+    out = {}
+    far_ball = dict(ball_pos=(3000.0, 3000.0, 93.15))
+
+    out["drive_forward"] = S([C()], ctrl(T, throttle=1), **far_ball)
+    out["drive_reverse"] = S([C()], ctrl(T, throttle=-1), **far_ball)
+    out["steer_circle"] = S([C(vel=(500, 0, 0))],
+                            ctrl(T, throttle=1, steer=1), **far_ball)
+    out["powerslide"] = S([C(vel=(1400, 0, 0))],
+                          ctrl(T, throttle=1, steer=1, handbrake=1),
+                          **far_ball)
+    out["boost_ground"] = S([C(boost=100)], ctrl(T, throttle=1, boost=1),
+                            **far_ball)
+    jump_u = ctrl(T, jump=np.r_[np.ones(12), np.zeros(T - 12)])
+    out["jump_short"] = S([C()], jump_u, **far_ball)
+    out["jump_held"] = S([C()], ctrl(T, jump=1), **far_ball)
+    # double jump: press, release, press again
+    dj = np.zeros(T); dj[:8] = 1; dj[20:24] = 1
+    out["double_jump"] = S([C()], ctrl(T, jump=dj), **far_ball)
+    # dodge: jump, then jump+pitch forward while airborne
+    fl = np.zeros(T); fl[:6] = 1; fl[14:18] = 1
+    pitch = np.zeros(T); pitch[14:18] = -1
+    out["front_flip"] = S([C(vel=(300, 0, 0))],
+                          ctrl(T, throttle=1, jump=fl, pitch=pitch),
+                          **far_ball)
+    # air control from a thrown state
+    air = C(pos=(0, 0, 600), vel=(200, 0, 300), is_on_ground=False,
+            has_jumped=True, air_time_since_jump=0.5, boost=100)
+    out["air_pitch"] = S([air], ctrl(T, pitch=1), **far_ball)
+    out["air_yaw"] = S([air], ctrl(T, yaw=1), **far_ball)
+    out["air_roll"] = S([air], ctrl(T, roll=1), **far_ball)
+    out["air_boost"] = S([air], ctrl(T, boost=1), **far_ball)
+    out["air_drift"] = S([air], ctrl(T), **far_ball)
+    # ball alone
+    out["ball_drop"] = S([C(pos=(2000, 2000, 17.01))], ctrl(T),
+                         ball_pos=(0, 0, 800))
+    out["ball_bounce_spin"] = S([C(pos=(2000, 2000, 17.01))], ctrl(T),
+                                ball_pos=(0, 0, 300),
+                                ball_vel=(600, 0, -400),
+                                ball_ang_vel=(0, 3, 0))
+    out["ball_roll"] = S([C(pos=(2000, 2000, 17.01))], ctrl(T),
+                         ball_pos=(0, 0, 93.15), ball_vel=(900, 200, 0))
+    out["ball_wall"] = S([C(pos=(-2000, 2000, 17.01))], ctrl(T),
+                         ball_pos=(3600, 0, 400), ball_vel=(1200, 0, 100))
+    # car hits ball head-on
+    out["car_ball_hit"] = S([C(vel=(1300, 0, 0), boost=100)],
+                            ctrl(T, throttle=1),
+                            ball_pos=(400, 0, 93.15))
+    # two cars: bump course
+    out["car_bump"] = S([C(vel=(1600, 0, 0)),
+                         C(team=1, pos=(500, 0, 17.01),
+                           fwd=(-1, 0, 0), right=(0, -1, 0))],
+                        ctrl(T, n_cars=2, throttle=1), **far_ball)
+    # demo: supersonic into stationary
+    out["car_demo"] = S([C(vel=(2250, 0, 0), boost=100),
+                         C(team=1, pos=(900, 0, 17.01),
+                           fwd=(0, 1, 0), right=(-1, 0, 0))],
+                        ctrl(T, n_cars=2, throttle=1, boost=1), **far_ball)
+    return out
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    T = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    scs = scenarios(T)
+    names = list(scs)
+    refs = parity.run_oracle([scs[n] for n in names])
+    print(f"{'scenario':20s} {'car_pos':>8s} {'car_vel':>8s} {'car_ang':>8s}"
+          f" {'ball_pos':>9s} {'ball_vel':>9s} flags")
+    for name, ref in zip(names, refs):
+        ours = parity.run_jax(scs[name])
+        gcf = parity.car_trace_field
+        dp = np.abs(gcf(ref["cars"], "pos") - gcf(ours["cars"], "pos")).max()
+        dv = np.abs(gcf(ref["cars"], "vel") - gcf(ours["cars"], "vel")).max()
+        da = np.abs(gcf(ref["cars"], "ang_vel")
+                    - gcf(ours["cars"], "ang_vel")).max()
+        dbp = np.abs(ref["ball"][:, :3] - ours["ball"][:, :3]).max()
+        dbv = np.abs(ref["ball"][:, 3:6] - ours["ball"][:, 3:6]).max()
+        flag_names = ["is_on_ground", "has_jumped", "has_double_jumped",
+                      "has_flipped", "is_supersonic", "is_demoed"]
+        bad_flags = [f for f in flag_names
+                     if np.mean(gcf(ref["cars"], f)
+                                != gcf(ours["cars"], f)) > 0.05]
+        print(f"{name:20s} {dp:8.2f} {dv:8.2f} {da:8.3f} {dbp:9.2f} "
+              f"{dbv:9.2f} {','.join(bad_flags)}")
+
+
+if __name__ == "__main__":
+    main()
