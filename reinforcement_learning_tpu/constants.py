@@ -47,6 +47,20 @@ CARCAR_COLLISION_RESTITUTION = 0.1
 WORLD_RESTITUTION = 0.3
 WORLD_FRICTION = 0.6
 
+# Bullet manifold-point lifetime: a contact exists while the narrowphase
+# gap is below the pair's contact breaking threshold,
+# 0.02 * min(angularMotionDisc of the two shapes) (reference bullet
+# btCollisionDispatcher.cpp:70-80, btCollisionShape.cpp:147-149).  For the
+# ball sphere the disc is radius + 4uu (ROCKETSIM CHANGE,
+# btCollisionShape.cpp:130-133: +0.08bt); for the car box it is
+# |half_extents|.  While the gap is inside this margin, approach velocity
+# is fully blocked (the vanilla creep allowance is commented out in the
+# fork, btSequentialImpulseConstraintSolver.cpp:155-164); positional
+# split-impulse pushout applies only at true overlap (cp.distance < 0).
+CONTACT_BREAK_FRAC = 0.02
+SPHERE_BOUND_EXTRA = 4.0  # uu (= 0.08 bt)
+MESH_COLLISION_MARGIN = 2.0  # uu (= 0.04 bt, bullet CONVEX_DISTANCE_MARGIN)
+
 BALL_REST_Z = 93.15
 BALL_MAX_ANG_SPEED = 6.0
 BALL_DRAG = 0.03  # per-second net velocity drag multiplier

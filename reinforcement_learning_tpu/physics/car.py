@@ -318,10 +318,13 @@ def update_wheels(cars: CarsState, rc: WheelRaycast, wc: WheelControlsState,
     steer_angle = steer_angle + (ps_angle - steer_angle) * hb_val
     steer_angle = steer_angle * controls[:, STEER]
 
-    # Friction params (Car.cpp:409-461)
+    # Friction params (Car.cpp:409-461).  latDir comes from the wheel's
+    # m_worldTransform, which was last refreshed in updateWheelTransform at
+    # tick start — i.e. with the PREVIOUS tick's steer angle (the new steer
+    # set a few lines above only takes effect next tick).
     lat_dir0 = cars.right[:, None, :]
-    cs = jnp.cos(steer_angle)[:, None, None]
-    sn = jnp.sin(steer_angle)[:, None, None]
+    cs = jnp.cos(wc.steer_angle)[:, None, None]
+    sn = jnp.sin(wc.steer_angle)[:, None, None]
     up = cars.up[:, None, :]
     steered_right = lat_dir0 * cs + jnp.cross(
         jnp.broadcast_to(up, lat_dir0.shape),

@@ -23,6 +23,7 @@ denominators involve the inertia tensor; inputs/outputs are uu.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from reinforcement_learning_tpu import constants as C
@@ -41,13 +42,21 @@ def _restitution_rhs(rel_vel, combined_restitution):
 
 
 def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
-                               restitution_coeff, friction_coeff):
+                               restitution_coeff, friction_coeff,
+                               vel_pre_bt=None, ang_vel_pre=None):
     """One contact of a dynamic body against the static world.
 
     Returns (dv_bt (3,), dw (3,), normal_impulse ()).  Solves the normal row
     (lower limit 0) then one velocity-dependent friction row clamped by
     mu * j_n, exactly like one solver iteration on a fresh constraint.
     Shapes support leading batch axes.
+
+    ``vel_pre_bt``/``ang_vel_pre``: velocity BEFORE this tick's force
+    integration (gravity/boost/...).  Bullet keeps forces in the solver
+    body's ``m_externalForceImpulse`` and evaluates restitution on the
+    velocity WITHOUT it while the constraint drives the velocity WITH it
+    (reference bullet btSequentialImpulseConstraintSolver.cpp:458-476 and
+    setupContactConstraint restitution path).
     """
     vel_at = vel_bt + jnp.cross(ang_vel, r_bt)
     rel_vel = m.dot(n, vel_at)
@@ -56,7 +65,12 @@ def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
     ang_comp = jnp.einsum('...ij,...j->...i', inv_iw, torque_axis)
     denom = inv_mass + m.dot(n, jnp.cross(ang_comp, r_bt))
 
-    rest = _restitution_rhs(rel_vel, restitution_coeff)
+    if vel_pre_bt is None:
+        rel_vel_rest = rel_vel
+    else:
+        wpre = ang_vel if ang_vel_pre is None else ang_vel_pre
+        rel_vel_rest = m.dot(n, vel_pre_bt + jnp.cross(wpre, r_bt))
+    rest = _restitution_rhs(rel_vel_rest, restitution_coeff)
     j_n = (rest - rel_vel) / jnp.maximum(denom, 1e-12)
     j_n = jnp.maximum(j_n, 0.0)
 
@@ -85,8 +99,18 @@ def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
 
 
 def resolve_ball_world(ball: BallState, mut: MutatorConfig,
-                       puck_axis=None, game_mode: str = "soccar"):
+                       puck_axis=None, game_mode: str = "soccar",
+                       vel_pre_uu=None):
     """Ball vs arena: the ROCKETSIM merged special contact.
+
+    A contact is live while the surface gap is inside the pair's contact
+    breaking threshold, 0.02*(radius_bt + 0.08) for the ball sphere
+    (btCollisionShape.cpp:130-133,147-149) = 1.905uu at soccar radius —
+    which is why BALL_REST_Z (93.15) sits 1.9uu above the radius.  While
+    live, approach along the normal is fully blocked (no creep allowance
+    in the fork) and restitution fires off the PRE-gravity velocity
+    (``vel_pre_uu``); split-impulse pushout happens only at true overlap
+    (gap < 0), matching SphereTriangleDetector's depth = dist - radius.
 
     ``puck_axis`` (snowday): the puck cylinder's axis in world frame.  The
     reference collides a 20-sided cylinder mesh (Ball.cpp:53-82); here the
@@ -96,29 +120,32 @@ def resolve_ball_world(ball: BallState, mut: MutatorConfig,
     Returns (dvel_uu (3,), dang_vel (3,), pos_push_uu (3,), touching (),
     navg (3,) average contact normal).
     """
+    pn, _ = geom.get_planes(game_mode)
+    dist_p = geom.signed_distances(ball.pos, game_mode)
+    valid = geom.plane_validity(ball.pos, game_mode)
     if puck_axis is None:
-        normals, depth, active = geom.sphere_contacts(ball.pos,
-                                                      mut.ball_radius,
-                                                      game_mode)
-        support = jnp.full(depth.shape, mut.ball_radius)
+        support = jnp.full(dist_p.shape, mut.ball_radius)
+        break_gap = C.CONTACT_BREAK_FRAC * (mut.ball_radius
+                                            + C.SPHERE_BOUND_EXTRA)
     else:
-        pn, _ = geom.get_planes(game_mode)
-        dist_p = geom.signed_distances(ball.pos, game_mode)
-        valid = geom.plane_validity(ball.pos, game_mode)
         a_dot_n = jnp.einsum('i,pi->p', puck_axis, pn)
         support = (C.Snowday.PUCK_RADIUS
                    * jnp.sqrt(jnp.maximum(1.0 - a_dot_n ** 2, 0.0))
                    + (C.Snowday.PUCK_HEIGHT / 2) * jnp.abs(a_dot_n))
-        depth = support - dist_p
-        active = valid & (depth > 0)
-        normals = jnp.broadcast_to(pn, pn.shape)
+        # Cylinder convex hull: disc = bounding sphere of the point cloud
+        disc = float(np.hypot(C.Snowday.PUCK_RADIUS,
+                              C.Snowday.PUCK_HEIGHT / 2))
+        break_gap = C.CONTACT_BREAK_FRAC * disc
+    normals = jnp.broadcast_to(pn, pn.shape)
+    gap = dist_p - support
+    active = valid & (gap < break_gap)
     num = jnp.sum(active)
     touching = num > 0
 
     navg = jnp.sum(jnp.where(active[:, None], normals, 0.0), axis=0) / (
         jnp.maximum(num, 1))
-    # rel_pos magnitude: contact point on ball surface (~support - depth)
-    dists = (support - jnp.maximum(depth, 0.0)) * C.UU_TO_BT
+    # rel_pos magnitude: contact point on the shape surface
+    dists = support * C.UU_TO_BT
     dist = jnp.sum(jnp.where(active, dists, 0.0)) / jnp.maximum(num, 1)
     r_bt = -navg * dist
 
@@ -140,16 +167,19 @@ def resolve_ball_world(ball: BallState, mut: MutatorConfig,
     restitution = max(mut.ball_world_restitution, C.WORLD_RESTITUTION)
     friction = min(mut.ball_world_friction, C.WORLD_FRICTION)
 
+    vel_pre_bt = (None if vel_pre_uu is None else vel_pre_uu * C.UU_TO_BT)
     dv_bt, dw, _ = _contact_impulse_vs_static(
         ball.vel * C.UU_TO_BT, ball.ang_vel, r_bt, navg,
-        ball_inv_mass, inv_iw, restitution, friction)
+        ball_inv_mass, inv_iw, restitution, friction,
+        vel_pre_bt=vel_pre_bt)
 
-    # The special contact carries no positional term (distance positive in
-    # the reference), but the regular (skipped) manifolds' split-impulse
-    # pushout is approximated here to keep the ball from sinking through
-    # planes under load.
-    max_depth = jnp.max(jnp.where(active, depth, 0.0))
-    push = navg * max_depth * C.SOLVER_ERP2
+    # The merged special contact carries no positional term (its distance
+    # is the positive rel-pos length), but the per-point manifolds still
+    # get split-impulse pushout when the core shape truly overlaps
+    # (cp.distance = gap < 0).  A ball that settles inside the margin zone
+    # stays wherever it was blocked (observed oracle behavior).
+    max_depth = jnp.max(jnp.where(active, -gap, 0.0))
+    push = navg * jnp.maximum(max_depth, 0.0) * C.SOLVER_ERP2
 
     zero = jnp.zeros(3)
     return (jnp.where(touching, dv_bt * C.BT_TO_UU, zero),
@@ -160,10 +190,15 @@ def resolve_ball_world(ball: BallState, mut: MutatorConfig,
 
 def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
                       mut: MutatorConfig, inv_iw,
-                      game_mode: str = "soccar"):
+                      game_mode: str = "soccar", vel_pre_uu=None,
+                      ang_vel_pre=None):
     """Car hitbox vs arena planes.
 
-    Per plane: centroid of penetrating hitbox corners as the contact point.
+    Per plane: centroid of contacting hitbox corners as the contact point.
+    A corner contacts while inside the box's contact breaking margin,
+    0.02*|half_extents| ~ 1.49uu (btCollisionShape.cpp:147-157); pushout
+    fires only on true overlap; restitution (0.3) reads the pre-force
+    velocity (see ``_contact_impulse_vs_static``).
     Returns (dvel_uu (C,3), dang_vel (C,3), pos_push_uu (C,3),
     has_contact (C,), contact_normal (C,3)).
     """
@@ -183,7 +218,13 @@ def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
     pn, pd = geom.get_planes(game_mode)
     d = jnp.einsum('cki,pi->ckp', corners, pn) + pd
     valid = geom.plane_validity(cars.pos, game_mode)  # (C, P)
-    pen = -d  # > 0 when corner is behind the plane
+    # Box-vs-trimesh runs through the GJK convex-triangle path where the
+    # triangle's 0.04bt (2uu) collision margin extends outward: the contact
+    # zero point sits 2uu above the surface (unlike the ball's special
+    # sphere-triangle detector, which ignores it).  GJK adds manifold
+    # points at margin-surface touch (oracle-calibrated: a flipping car's
+    # corner bounces when it crosses 2uu, not 2uu + breaking threshold).
+    pen = -d + C.MESH_COLLISION_MARGIN  # > 0 inside the margin surface
     corner_active = valid[:, None, :] & (pen > 0)
 
     ncontacts = jnp.sum(corner_active, axis=1)  # (C, P)
@@ -200,11 +241,16 @@ def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
     # simultaneous multi-plane car contacts are rare outside corners)
     n = jnp.broadcast_to(pn, centroid.shape)  # (C, P, 3)
     r_bt = (centroid - cars.pos[:, None, :]) * C.UU_TO_BT
+    vel_pre_bt = (None if vel_pre_uu is None
+                  else vel_pre_uu[:, None, :] * C.UU_TO_BT)
+    wpre = (None if ang_vel_pre is None
+            else jnp.broadcast_to(ang_vel_pre[:, None, :], centroid.shape))
     dv_bt, dw, _ = _contact_impulse_vs_static(
         cars.vel[:, None, :] * C.UU_TO_BT,
         jnp.broadcast_to(cars.ang_vel[:, None, :], centroid.shape),
         r_bt, n, inv_mass, inv_iw[:, None],
-        mut.car_world_restitution, mut.car_world_friction)
+        mut.car_world_restitution, mut.car_world_friction,
+        vel_pre_bt=vel_pre_bt, ang_vel_pre=wpre)
 
     act = plane_active[..., None]
     dvel = jnp.sum(jnp.where(act, dv_bt, 0.0), axis=1) * C.BT_TO_UU
@@ -228,7 +274,8 @@ def closest_point_on_box(point, box_center, box_rot, half_extents):
 
 def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
                      half_extents, hitbox_offset, mut: MutatorConfig,
-                     inv_iw_cars, alive=None, game_mode: str = "soccar"):
+                     inv_iw_cars, alive=None, game_mode: str = "soccar",
+                     cars_vel_pre=None, ball_vel_pre=None):
     """Car-ball contact: physical impulse (friction 2.0, restitution 0 —
     Arena.cpp:289-291) + the psyonix extra impulse into the ball's velocity
     cache (Arena.cpp:283-334).
@@ -243,7 +290,10 @@ def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
         half_extents)
     delta = ball.pos - closest
     dist = m.norm(delta)
-    touching = dist < mut.ball_radius
+    # Manifold live within the pair's breaking threshold: 0.02 * min(ball
+    # disc, box disc) = the box's |half_extents| margin (~1.49uu)
+    break_gap = C.CONTACT_BREAK_FRAC * float(np.linalg.norm(half_extents))
+    touching = dist < mut.ball_radius + break_gap
     if alive is not None:
         # Demoed cars have no contact response (Car.cpp:74-77)
         touching = touching & alive
@@ -271,30 +321,59 @@ def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
              + m.dot(n, jnp.cross(ta_car, r_car))
              + m.dot(n, jnp.cross(ta_ball, r_ball)))
 
-    # restitution 0 (CARBALL_COLLISION_RESTITUTION)
-    j_n = jnp.maximum(-rel_vel / jnp.maximum(denom, 1e-12), 0.0)
-    j_n = jnp.where(touching, j_n, 0.0)
-    imp = n * j_n[:, None]  # impulse on ball (+n), car gets -imp
-
-    # Friction (mu = 2.0)
-    v_ball2 = v_ball + imp * ball_inv_mass + jnp.cross(
-        jnp.einsum('ij,cj->ci', inv_iw_ball, jnp.cross(r_ball, imp)), r_ball)
-    v_car2 = v_car - imp * car_inv_mass + jnp.cross(
-        jnp.einsum('cij,cj->ci', inv_iw_cars, jnp.cross(r_car, -imp)), r_car)
-    rel_t = (v_ball2 - v_car2)
-    rel_t = rel_t - n * m.dot(n, rel_t, keepdims=True)
-    t_len = m.norm(rel_t, keepdims=True)
-    t_dir = jnp.where(t_len > 1e-9, rel_t / jnp.maximum(t_len, 1e-9), 0.0)
+    # Friction direction: tangential relative velocity at setup (bullet's
+    # velocity-dependent lateral dir, convertContactInner)
+    rel_t0 = (v_ball - v_car) - n * rel_vel[:, None]
+    t_len = m.norm(rel_t0, keepdims=True)
+    t_dir = jnp.where(t_len > 1e-9, rel_t0 / jnp.maximum(t_len, 1e-9), 0.0)
     tt_car = jnp.einsum('cij,cj->ci', inv_iw_cars, jnp.cross(r_car, t_dir))
     tt_ball = jnp.einsum('ij,cj->ci', inv_iw_ball, jnp.cross(r_ball, t_dir))
     t_denom = (car_inv_mass + ball_inv_mass
                + m.dot(t_dir, jnp.cross(tt_car, r_car))
                + m.dot(t_dir, jnp.cross(tt_ball, r_ball)))
-    j_t = -m.dot(t_dir, v_ball2 - v_car2) / jnp.maximum(t_denom, 1e-12)
     mu = C.CARBALL_COLLISION_FRICTION
-    j_t = jnp.clip(j_t, -mu * j_n, mu * j_n)
-    imp_t = t_dir * j_t[:, None]
-    imp_total = imp + imp_t
+
+    # Sequential-impulse iterations over the coupled normal + friction rows
+    # (bullet runs 10; the rows couple through the angular terms).
+    # Accumulators carry (j_n, j_t) with bullet's clamping rules:
+    # restitution 0 (CARBALL_COLLISION_RESTITUTION), |j_t| <= mu * j_n.
+    dvb = jnp.zeros_like(v_ball)
+    dwb = jnp.zeros_like(v_ball)
+    dvc = jnp.zeros_like(v_car)
+    dwc = jnp.zeros_like(v_car)
+    jn_acc = jnp.zeros(n.shape[0])
+    jt_acc = jnp.zeros(n.shape[0])
+    for _ in range(10):
+        rv = m.dot(n, (v_ball + dvb + jnp.cross(dwb, r_ball))
+                   - (v_car + dvc + jnp.cross(dwc, r_car)))
+        djn = -rv / jnp.maximum(denom, 1e-12)
+        djn = jnp.maximum(jn_acc + djn, 0.0) - jn_acc
+        djn = jnp.where(touching, djn, 0.0)
+        jn_acc = jn_acc + djn
+        dimp = n * djn[:, None]
+        dvb = dvb + dimp * ball_inv_mass
+        dwb = dwb + jnp.einsum('ij,cj->ci', inv_iw_ball,
+                               jnp.cross(r_ball, dimp))
+        dvc = dvc - dimp * car_inv_mass
+        dwc = dwc + jnp.einsum('cij,cj->ci', inv_iw_cars,
+                               jnp.cross(r_car, -dimp))
+
+        rt = m.dot(t_dir, (v_ball + dvb + jnp.cross(dwb, r_ball))
+                   - (v_car + dvc + jnp.cross(dwc, r_car)))
+        djt = -rt / jnp.maximum(t_denom, 1e-12)
+        djt = jnp.clip(jt_acc + djt, -mu * jn_acc, mu * jn_acc) - jt_acc
+        djt = jnp.where(touching, djt, 0.0)
+        jt_acc = jt_acc + djt
+        dimp = t_dir * djt[:, None]
+        dvb = dvb + dimp * ball_inv_mass
+        dwb = dwb + jnp.einsum('ij,cj->ci', inv_iw_ball,
+                               jnp.cross(r_ball, dimp))
+        dvc = dvc - dimp * car_inv_mass
+        dwc = dwc + jnp.einsum('cij,cj->ci', inv_iw_cars,
+                               jnp.cross(r_car, -dimp))
+
+    imp_total = n * jn_acc[:, None] + t_dir * jt_acc[:, None]
+    j_n = jn_acc
 
     tmask = touching[:, None]
     ball_dv = jnp.sum(jnp.where(tmask, imp_total, 0.0), axis=0) \
@@ -309,8 +388,12 @@ def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
     can_extra = touching & (
         (tick_count > cars.ball_hit_extra_impulse_tick + 1)
         | (cars.ball_hit_extra_impulse_tick > tick_count))
+    # GetState() at callback time reads pre-force velocities (the callback
+    # fires during narrowphase, before the solver integrates forces)
+    cv = cars.vel if cars_vel_pre is None else cars_vel_pre
+    bv = ball.vel if ball_vel_pre is None else ball_vel_pre
     rel_pos = ball.pos - cars.pos
-    rel_v = ball.vel - cars.vel
+    rel_v = bv - cv
     rel_speed = jnp.minimum(m.norm(rel_v),
                             C.BALL_CAR_EXTRA_IMPULSE_MAXDELTAVEL_UU)
     if game_mode == "hoops":
@@ -356,66 +439,131 @@ def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
         touching
 
 
+def _obb_pair_sat(box_center, rot, he):
+    """All-pairs OBB separation via the 15 SAT axes.
+
+    Returns (sep (C,C) max separation, negative = overlap; n (C,C,3)
+    world-frame contact normal along the max-separation axis, oriented
+    i -> j; contact_pt (C,C,3) midpoint of the two support points).
+    Mirrors what bullet's box-box convex pair produces for the dominant
+    manifold point.
+    """
+    num_cars = box_center.shape[0]
+    ci = box_center[:, None, :]
+    cj = box_center[None, :, :]
+    d = cj - ci  # (C, C, 3)
+
+    cols_i = jnp.broadcast_to(jnp.swapaxes(rot, -1, -2)[:, None],
+                              (num_cars, num_cars, 3, 3))  # rows = axes of i
+    cols_j = jnp.broadcast_to(jnp.swapaxes(rot, -1, -2)[None, :],
+                              (num_cars, num_cars, 3, 3))
+    crosses = jnp.cross(cols_i[:, :, :, None, :],
+                        cols_j[:, :, None, :, :]).reshape(
+                            num_cars, num_cars, 9, 3)
+    axes = jnp.concatenate([cols_i, cols_j, crosses], axis=2)  # (C,C,15,3)
+    alen = m.norm(axes, keepdims=True)
+    axis_ok = alen[..., 0] > 1e-6
+    axes = axes / jnp.maximum(alen, 1e-6)
+
+    # projection radii: sum_k he_k |axis . box_axis_k|
+    proj_i = jnp.einsum('cdai,cdki->cdak', axes, cols_i)
+    proj_j = jnp.einsum('cdai,cdki->cdak', axes, cols_j)
+    radius = (jnp.abs(proj_i) @ he) + (jnp.abs(proj_j) @ he)  # (C,C,15)
+    dist_a = jnp.einsum('cdai,cdi->cda', axes, d)
+    sep_a = jnp.abs(dist_a) - radius
+    sep_a = jnp.where(axis_ok, sep_a, -jnp.inf)
+
+    best = jnp.argmax(sep_a, axis=2)  # (C, C)
+    sep = jnp.take_along_axis(sep_a, best[..., None], axis=2)[..., 0]
+    n = jnp.take_along_axis(axes, best[..., None, None], axis=2)[..., 0, :]
+    nd = jnp.take_along_axis(dist_a, best[..., None], axis=2)[..., 0]
+    n = n * jnp.where(nd < 0, -1.0, 1.0)[..., None]  # orient i -> j
+
+    # support points: deepest point of i along +n, of j along -n; zero out
+    # near-perpendicular components so face contacts land on face centers
+    def _support(local_n):
+        s = jnp.where(jnp.abs(local_n) > 1e-3, jnp.sign(local_n), 0.0)
+        return s * he
+
+    li = jnp.einsum('cdki,cdi->cdk', cols_i, n)
+    lj = jnp.einsum('cdki,cdi->cdk', cols_j, n)
+    pa = ci + jnp.einsum('cdik,cdk->cdi',
+                         jnp.swapaxes(cols_i, -1, -2), _support(li))
+    pb = cj + jnp.einsum('cdik,cdk->cdi',
+                         jnp.swapaxes(cols_j, -1, -2), -_support(lj))
+    contact_pt = 0.5 * (pa + pb)
+    return sep, n, contact_pt
+
+
 def car_car_interactions(cars: CarsState, teams, half_extents, hitbox_offset,
-                         mut: MutatorConfig, inv_iw):
+                         mut: MutatorConfig, inv_iw, vel_pre=None):
     """All-pairs car-car contact + bump/demo logic (Arena.cpp:336-418).
 
-    Returns (dvel (C,3), dang (C,3), cache_dv (C,3), got_demoed (C,),
-    bumped (C,C) bool [i bumped j], is_demo (C,C) bool [i demoed j],
-    contact_updates dict).
+    Returns (dvel (C,3), dang (C,3), push (C,3), cache_dv (C,3),
+    got_demoed (C,), bumped (C,C) bool [i bumped j], is_demo (C,C) bool
+    [i demoed j], contact_updates dict).
     """
     num_cars = cars.pos.shape[0]
     he = jnp.asarray(half_extents)
+    if vel_pre is None:
+        vel_pre = cars.vel
 
     box_center = cars.pos + m.rotate(cars.rot, hitbox_offset)
+    sep, n, contact_pt = _obb_pair_sat(box_center, cars.rot, he)
 
-    # Pairwise proximity contact via closest-point approximation:
-    # closest point on box_i to center of box_j and vice versa.
-    ci = box_center[:, None, :]
-    cj = box_center[None, :, :]
-    # Sphere-approx contact test: project center_j into box_i frame
-    local_j = m.inv_rotate(cars.rot[:, None], cj - ci)  # (C, C, 3)
-    clamped = jnp.clip(local_j, -he, he)
-    closest_ij = ci + m.rotate(cars.rot[:, None], clamped)  # on box_i
-    # Penetrating if center_j within box_i inflated by ~half min extent
-    dist = m.norm(cj - closest_ij)
-    touch_rad = jnp.min(he)  # coarse: boxes overlap if centers this close
+    # Box-box pairs use btBoxBoxDetector (dBoxBox), which only generates
+    # contacts on true overlap of the full (margin-included) extents
     eye = jnp.eye(num_cars, dtype=bool)
-    overlap = (dist < touch_rad) & ~eye
+    overlap = (sep < 0.0) & ~eye
     both_alive = (~cars.is_demoed[:, None]) & (~cars.is_demoed[None, :])
     overlap &= both_alive
 
-    # --- physical contact impulse (friction .09, restitution .1)
-    n = m.normalize(cj - ci)  # from car i to car j
-    contact_pt = (closest_ij + cj) * 0.5
+    # --- physical contact impulse (friction .09, restitution .1).
+    # Bullet clips box-box faces into a (up to) 4-point manifold whose
+    # converged sequential-impulse solution is essentially a CENTRAL
+    # impulse between the bodies (the spread points pin relative rotation;
+    # oracle bumps leave only ~0.7 rad/s residual spin), so the impulse is
+    # solved with the linear denominator and applied at the centers of
+    # mass.
     inv_mass = 1.0 / mut.car_mass
-    r_i = (contact_pt - cars.pos[:, None, :]) * C.UU_TO_BT
-    r_j = (contact_pt - cars.pos[None, :, :]) * C.UU_TO_BT
-    v_i = cars.vel[:, None, :] * C.UU_TO_BT + jnp.cross(
-        jnp.broadcast_to(cars.ang_vel[:, None, :], r_i.shape), r_i)
-    v_j = cars.vel[None, :, :] * C.UU_TO_BT + jnp.cross(
-        jnp.broadcast_to(cars.ang_vel[None, :, :], r_j.shape), r_j)
+    v_i = cars.vel[:, None, :] * C.UU_TO_BT
+    v_j = cars.vel[None, :, :] * C.UU_TO_BT
     rel_vel = m.dot(n, v_j - v_i)
-    ta_i = jnp.einsum('cij,cdj->cdi', inv_iw, jnp.cross(r_i, n))
-    ta_j = jnp.einsum('dij,cdj->cdi', inv_iw, jnp.cross(r_j, n))
-    denom = (2 * inv_mass + m.dot(n, jnp.cross(ta_i, r_i))
-             + m.dot(n, jnp.cross(ta_j, r_j)))
-    rest = _restitution_rhs(rel_vel, C.CARCAR_COLLISION_RESTITUTION)
-    j_n = jnp.maximum((rest - rel_vel) / jnp.maximum(denom, 1e-12), 0.0)
+    denom = 2 * inv_mass
+    # restitution from pre-force velocities (see _contact_impulse_vs_static)
+    rest = _restitution_rhs(
+        m.dot(n, (vel_pre[None, :, :] - vel_pre[:, None, :]) * C.UU_TO_BT),
+        C.CARCAR_COLLISION_RESTITUTION)
+    j_n = jnp.maximum((rest - rel_vel) / denom, 0.0)
     j_n = jnp.where(overlap, j_n, 0.0)
     imp = n * j_n[..., None]  # on car j (+n), car i gets -imp
-    # (friction between cars is tiny, mu=.09; skip tangential term for now)
 
+    # friction row (mu = CARCAR_COLLISION_FRICTION, tiny but present)
+    rel_t = (v_j + imp * inv_mass) - (v_i - imp * inv_mass)
+    rel_t = rel_t - n * m.dot(n, rel_t, keepdims=True)
+    t_len = m.norm(rel_t, keepdims=True)
+    t_dir = jnp.where(t_len > 1e-9, rel_t / jnp.maximum(t_len, 1e-9), 0.0)
+    j_t = jnp.clip(-t_len[..., 0] / denom,
+                   -C.CARCAR_COLLISION_FRICTION * j_n,
+                   C.CARCAR_COLLISION_FRICTION * j_n)
+    imp = imp + t_dir * j_t[..., None]
+
+    # Each unordered pair appears in both (i,j) and (j,i) with the same
+    # magnitude and flipped normal; halve so the pair is solved once.
     dvel = (jnp.sum(imp, axis=0) - jnp.sum(imp, axis=1)) \
-        * inv_mass * C.BT_TO_UU
-    dang = (jnp.einsum('dij,dj->di', inv_iw,
-                       jnp.sum(jnp.cross(r_j, imp), axis=0))
-            + jnp.einsum('cij,cj->ci', inv_iw,
-                         jnp.sum(jnp.cross(r_i, -imp), axis=1)))
+        * (0.5 * inv_mass * C.BT_TO_UU)
+    dang = jnp.zeros_like(cars.ang_vel)
 
-    # --- bump / demo logic, evaluated both directions (i bumps j)
-    state_i_vel = cars.vel[:, None, :]
-    state_j_vel = cars.vel[None, :, :]
+    # split-impulse positional pushout at true overlap, half to each body
+    push_mag = jnp.where(overlap, jnp.maximum(-sep, 0.0), 0.0) \
+        * (C.SOLVER_ERP2 * 0.5)
+    push = (jnp.sum(n * push_mag[..., None], axis=0)
+            - jnp.sum(n * push_mag[..., None], axis=1))
+
+    # --- bump / demo logic, evaluated both directions (i bumps j);
+    # Car::GetState() at callback time reads pre-force velocities
+    state_i_vel = vel_pre[:, None, :]
+    state_j_vel = vel_pre[None, :, :]
     delta_pos = cars.pos[None, :, :] - cars.pos[:, None, :]  # i -> j
     going_towards = m.dot(state_i_vel, delta_pos) > 0
 
@@ -472,4 +620,5 @@ def car_car_interactions(cars: CarsState, teams, half_extents, hitbox_offset,
         car_contact_cooldown=jnp.where(bumped_any, mut.bump_cooldown_time,
                                        cars.car_contact_cooldown),
     )
-    return dvel, dang, cache_dv, got_demoed, bump, is_demo, contact_updates
+    return (dvel, dang, push, cache_dv, got_demoed, bump, is_demo,
+            contact_updates)

@@ -29,6 +29,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from reinforcement_learning_tpu import constants as C
@@ -173,7 +174,9 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     ball = arena.ball
     wc = phys.wheels
 
-    half_extents = jnp.asarray(cfg.hitbox_size, jnp.float32) / 2.0
+    # numpy (static) so contact-margin scalars derived from it stay python
+    # floats under tracing
+    half_extents = np.asarray(cfg.hitbox_size, np.float32) / 2.0
     hitbox_offset = jnp.asarray(cfg.hitbox_offset, jnp.float32)
     inv_i_local = carmod.box_inv_inertia_local(mut.car_mass, cfg.hitbox_size)
 
@@ -280,6 +283,12 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
 
     gravity = jnp.array([0.0, 0.0, mut.gravity_z])
 
+    # Pre-force velocities: bullet defers forces (gravity/boost/sticky/...)
+    # into the solver's externalForceImpulse; restitution and the contact
+    # callbacks read velocities WITHOUT them (see contacts.py docstrings)
+    cars_vel_pre = cars.vel
+    cars_ang_vel_pre = cars.ang_vel
+
     total_accel = (gravity[None, :] + sticky_accel + air_accel + jump_accel
                    + ar_accel + boost_accel)
     total_ang_accel = air_ang_accel + ar_ang_accel
@@ -292,6 +301,7 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
 
     # Ball: sleeping + gravity + drag (Arena.cpp:721-727, Ball.cpp:95-98)
     ball_awake = (m.norm(ball.vel) > 0) | (m.norm(ball.ang_vel) > 0)
+    ball_vel_pre = ball.vel
     drag = (1.0 - mut.ball_drag) ** dt
     ball = ball.replace(vel=jnp.where(ball_awake,
                                       (ball.vel + gravity * dt) * drag,
@@ -299,7 +309,8 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
 
     # --- contacts (rotations unchanged so inv_iw is still valid)
     cw_dv, cw_dw, cw_push, cw_contact, cw_normal = contacts.resolve_car_world(
-        cars, half_extents, hitbox_offset, mut, inv_iw, params.game_mode)
+        cars, half_extents, hitbox_offset, mut, inv_iw, params.game_mode,
+        vel_pre_uu=cars_vel_pre, ang_vel_pre=cars_ang_vel_pre)
     cars = cars.replace(
         vel=cars.vel + cw_dv,
         ang_vel=cars.ang_vel + cw_dw,
@@ -312,7 +323,8 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     cb_car_dv, cb_car_dw, cb_ball_dv, cb_ball_dw, ball_cache_dv, \
         hit_updates, ball_touched = contacts.resolve_car_ball(
             cars, ball, arena.tick_count, half_extents, hitbox_offset, mut,
-            inv_iw, alive, params.game_mode)
+            inv_iw, alive, params.game_mode,
+            cars_vel_pre=cars_vel_pre, ball_vel_pre=ball_vel_pre)
     cars = cars.replace(vel=cars.vel + cb_car_dv,
                         ang_vel=cars.ang_vel + cb_car_dw, **hit_updates)
     ball = ball.replace(vel=ball.vel + cb_ball_dv,
@@ -325,7 +337,7 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     # ball-world (merged special contact)
     puck_axis = ball.rot[:, 2] if params.game_mode == "snowday" else None
     bw_dv, bw_dw, bw_push, bw_touch, bw_normal = contacts.resolve_ball_world(
-        ball, mut, puck_axis, params.game_mode)
+        ball, mut, puck_axis, params.game_mode, vel_pre_uu=ball_vel_pre)
     ball = ball.replace(vel=ball.vel + bw_dv, ang_vel=ball.ang_vel + bw_dw)
 
     # Ball::_OnWorldCollision (Ball.cpp:218-252)
@@ -343,9 +355,10 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
 
     # car-car (+bump/demo); masks demoed cars internally
     if num_cars > 1:
-        cc_dv, cc_dw, cc_cache_dv, got_demoed, bumped, demo_mat, \
+        cc_dv, cc_dw, cc_push, cc_cache_dv, got_demoed, bumped, demo_mat, \
             cc_updates = contacts.car_car_interactions(
-                cars, teams, half_extents, hitbox_offset, mut, inv_iw)
+                cars, teams, half_extents, hitbox_offset, mut, inv_iw,
+                vel_pre=cars_vel_pre)
         cars = cars.replace(vel=cars.vel + cc_dv,
                             ang_vel=cars.ang_vel + cc_dw, **cc_updates)
         # Demolish (Car.cpp:38-41)
@@ -354,6 +367,7 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
             demo_respawn_timer=jnp.where(got_demoed, mut.respawn_delay,
                                          cars.demo_respawn_timer))
     else:
+        cc_push = jnp.zeros_like(cars.vel)
         cc_cache_dv = jnp.zeros_like(cars.vel)
         bumped = jnp.zeros((num_cars, num_cars), bool)
         demo_mat = jnp.zeros((num_cars, num_cars), bool)
@@ -361,7 +375,7 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
 
     # --- integrate transforms
     cars = cars.replace(
-        pos=cars.pos + cars.vel * dt + cw_push,
+        pos=cars.pos + cars.vel * dt + cw_push + cc_push,
         rot=m.integrate_rotation(cars.rot, cars.ang_vel, dt))
     ball_awake = (m.norm(ball.vel) > 0) | (m.norm(ball.ang_vel) > 0)
     ball = ball.replace(
