@@ -161,10 +161,20 @@ def _iw_vec(iw, a):
     return cv.matvec(iw, a)
 
 
+def _restitution_rhs(rel_vel, combined_restitution):
+    """Twin of contacts._restitution_rhs (0.2 bt/s threshold)."""
+    rest = combined_restitution * -rel_vel
+    rest = jnp.where(jnp.abs(rel_vel) < 0.2, 0.0, rest)
+    return jnp.maximum(rest, 0.0)
+
+
 def _contact_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
-                       restitution_coeff, friction_coeff):
+                       restitution_coeff, friction_coeff,
+                       vel_pre_bt=None, ang_vel_pre=None):
     """Component twin of contacts._contact_impulse_vs_static.
-    Returns (dv Vec (bt), dw Vec, j_n)."""
+    Returns (dv Vec (bt), dw Vec, j_n).  ``vel_pre_bt``/``ang_vel_pre``:
+    velocities BEFORE this tick's force integration — restitution reads
+    them (bullet's externalForceImpulse split)."""
     vel_at = vadd(vel_bt, vcross(ang_vel, r_bt))
     rel_vel = vdot(n, vel_at)
 
@@ -172,9 +182,12 @@ def _contact_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
     ang_comp = _iw_vec(inv_iw, torque_axis)
     denom = inv_mass + vdot(n, vcross(ang_comp, r_bt))
 
-    rest = restitution_coeff * -rel_vel
-    rest = jnp.where(jnp.abs(rel_vel) < 0.2, 0.0, rest)
-    rest = jnp.maximum(rest, 0.0)
+    if vel_pre_bt is None:
+        rel_vel_rest = rel_vel
+    else:
+        wpre = ang_vel if ang_vel_pre is None else ang_vel_pre
+        rel_vel_rest = vdot(n, vadd(vel_pre_bt, vcross(wpre, r_bt)))
+    rest = _restitution_rhs(rel_vel_rest, restitution_coeff)
     j_n = jnp.maximum((rest - rel_vel) / jnp.maximum(denom, 1e-12), 0.0)
 
     imp = vscale(n, j_n)
@@ -399,7 +412,9 @@ def _update_wheels(k: TickConsts, st, rc, wc, controls, fwd_speed,
 
     up = cv.up(st['rot'])
     rightv = cv.right(st['rot'])
-    cs, sn = jnp.cos(steer_angle), jnp.sin(steer_angle)
+    # Friction latDir comes from the wheel m_worldTransform, last refreshed
+    # at tick start — i.e. with the PREVIOUS tick's steer (car.update_wheels)
+    cs, sn = jnp.cos(wc['steer_angle']), jnp.sin(wc['steer_angle'])
     steered_right = vadd(vscale(rightv, cs), vscale(vcross(up, rightv), sn))
 
     new_lat, new_long = [], []
@@ -758,8 +773,10 @@ def _slot_const(values, sample):
                      axis=0)
 
 
-def _resolve_car_world(k: TickConsts, st, inv_iw):
+def _resolve_car_world(k: TickConsts, st, inv_iw, vel_pre, ang_vel_pre):
     """contacts.resolve_car_world (corner-centroid per plane).
+    Corners contact at the 2uu triangle collision-margin surface
+    (C.MESH_COLLISION_MARGIN); restitution reads pre-force velocities.
     Returns (dvel Vec uu, dang Vec, push Vec uu, has_contact, normal Vec)."""
     mut = k.mut
     inv_mass = 1.0 / mut.car_mass
@@ -778,6 +795,7 @@ def _resolve_car_world(k: TickConsts, st, inv_iw):
     has_contact = jnp.zeros_like(st['is_on_ground'])
 
     vel_bt = vscale(st['vel'], C.UU_TO_BT)
+    vel_pre_bt = vscale(vel_pre, C.UU_TO_BT)
     for p, plane in enumerate(k.planes):
         pn = plane[:3]
         ncont = zero
@@ -785,7 +803,7 @@ def _resolve_car_world(k: TickConsts, st, inv_iw):
         max_depth = zero
         for corner in corners:
             d = _plane_dist(plane, corner)
-            pen = -d
+            pen = -d + C.MESH_COLLISION_MARGIN
             act = pen > 0 if valid[p] is True else valid[p] & (pen > 0)
             actf = act.astype(zero.dtype)
             ncont = ncont + actf
@@ -801,7 +819,8 @@ def _resolve_car_world(k: TickConsts, st, inv_iw):
         r_bt = vscale(vsub(centroid, st['pos']), C.UU_TO_BT)
         dv_bt, dw, _ = _contact_vs_static(
             vel_bt, st['ang_vel'], r_bt, n, inv_mass, inv_iw,
-            mut.car_world_restitution, mut.car_world_friction)
+            mut.car_world_restitution, mut.car_world_friction,
+            vel_pre_bt=vel_pre_bt, ang_vel_pre=ang_vel_pre)
 
         dvel = vadd(dvel, vwhere(plane_active, dv_bt, vzero(zero)))
         dang = vadd(dang, vwhere(plane_active, dw, vzero(zero)))
@@ -814,31 +833,35 @@ def _resolve_car_world(k: TickConsts, st, inv_iw):
     return (vscale(dvel, C.BT_TO_UU), dang, push, has_contact, normal)
 
 
-def _resolve_ball_world(k: TickConsts, ball_pos, ball_vel, ball_ang_vel):
-    """contacts.resolve_ball_world: (dvel uu, dang, push uu, touching)."""
+def _resolve_ball_world(k: TickConsts, ball_pos, ball_vel, ball_ang_vel,
+                        ball_vel_pre):
+    """contacts.resolve_ball_world: (dvel uu, dang, push uu, touching).
+    Contact live while gap < 0.02*(radius_bt + 0.08) (sphere breaking
+    threshold); pushout only at true overlap; restitution reads the
+    pre-gravity velocity."""
     mut = k.mut
     radius = mut.ball_radius
+    break_gap = C.CONTACT_BREAK_FRAC * (radius + C.SPHERE_BOUND_EXTRA)
     valid = _plane_validity(k, ball_pos)
     zero = jnp.zeros_like(ball_pos[0])
 
     num = zero
     navg = vzero(zero)
-    dsum = zero
     max_depth = zero
     for p, plane in enumerate(k.planes):
         dist = _plane_dist(plane, ball_pos)
-        depth = radius - dist
-        act = depth > 0 if valid[p] is True else valid[p] & (depth > 0)
+        gap = dist - radius
+        act = gap < break_gap if valid[p] is True \
+            else valid[p] & (gap < break_gap)
         actf = act.astype(zero.dtype)
         num = num + actf
         navg = vadd(navg, vscale(cv.vconst(plane[:3], zero), actf))
-        dsum = dsum + actf * (radius - jnp.maximum(depth, 0.0)) * C.UU_TO_BT
-        max_depth = jnp.maximum(max_depth, jnp.where(act, depth, 0.0))
+        max_depth = jnp.maximum(max_depth, jnp.where(act, -gap, 0.0))
     touching = num > 0
     inv_n = 1.0 / jnp.maximum(num, 1.0)
     navg = vscale(navg, inv_n)
-    dist = dsum * inv_n
-    r_bt = vscale(navg, -dist)
+    # rel_pos magnitude: contact point on the sphere surface
+    r_bt = vscale(navg, -radius * C.UU_TO_BT)
 
     ball_inv_mass = 1.0 / mut.ball_mass
     inertia = 0.4 * mut.ball_mass * (radius * C.UU_TO_BT) ** 2
@@ -850,18 +873,21 @@ def _resolve_ball_world(k: TickConsts, ball_pos, ball_vel, ball_ang_vel):
 
     dv_bt, dw, _ = _contact_vs_static(
         vscale(ball_vel, C.UU_TO_BT), ball_ang_vel, r_bt, navg,
-        ball_inv_mass, inv_iw, restitution, friction)
+        ball_inv_mass, inv_iw, restitution, friction,
+        vel_pre_bt=vscale(ball_vel_pre, C.UU_TO_BT))
 
-    push = vscale(navg, max_depth * C.SOLVER_ERP2)
+    push = vscale(navg, jnp.maximum(max_depth, 0.0) * C.SOLVER_ERP2)
     z = vzero(zero)
     return (vwhere(touching, vscale(dv_bt, C.BT_TO_UU), z),
             vwhere(touching, dw, z), vwhere(touching, push, z), touching)
 
 
 def _resolve_car_ball(k: TickConsts, st, ball_pos, ball_vel, ball_ang_vel,
-                      tick_count, inv_iw, alive):
+                      tick_count, inv_iw, alive, cars_vel_pre, ball_vel_pre):
     """contacts.resolve_car_ball.  Ball quantities are env-shaped and
-    broadcast against the (C,)+S car arrays.
+    broadcast against the (C,)+S car arrays.  Manifold live within the box
+    breaking threshold; coupled normal+friction rows iterated 10x; psyonix
+    callback reads pre-force velocities.
 
     Returns (car_dv, car_dw, ball_dv, ball_dw, ball_cache_dv, hit_updates,
     touched)."""
@@ -878,7 +904,9 @@ def _resolve_car_ball(k: TickConsts, st, ball_pos, ball_vel, ball_ang_vel,
     closest = vadd(box_center, cv.matvec(st['rot'], clamped))
     delta = vsub(ball_pos, closest)
     dist = vnorm(delta)
-    touching = (dist < mut.ball_radius) & alive
+    break_gap = C.CONTACT_BREAK_FRAC * float(
+        np.linalg.norm(np.asarray(he)))
+    touching = (dist < mut.ball_radius + break_gap) & alive
     n = vwhere(dist > 1e-6, vnormalize(delta),
                vnormalize(vsub(ball_pos, box_center)))
 
@@ -901,29 +929,52 @@ def _resolve_car_ball(k: TickConsts, st, ball_pos, ball_vel, ball_ang_vel,
              + vdot(n, vcross(ta_car, r_car))
              + vdot(n, vcross(ta_ball, r_ball)))
 
-    j_n = jnp.maximum(-rel_vel / jnp.maximum(denom, 1e-12), 0.0)
-    j_n = jnp.where(touching, j_n, 0.0)
-    imp = vscale(n, j_n)
-
-    v_ball2 = vadd(v_ball, vscale(imp, ball_inv_mass),
-                   vcross(_iw_vec(iw_ball, vcross(r_ball, imp)), r_ball))
-    v_car2 = vadd(v_car, vscale(imp, -car_inv_mass),
-                  vcross(_iw_vec(inv_iw, vcross(r_car, cv.vneg(imp))), r_car))
-    rel_t = vsub(v_ball2, v_car2)
-    rel_t = vsub(rel_t, vscale(n, vdot(n, rel_t)))
-    t_len = vnorm(rel_t)
+    # Friction direction: tangential relative velocity at setup
+    rel_t0 = vsub(vsub(v_ball, v_car), vscale(n, rel_vel))
+    t_len = vnorm(rel_t0)
     t_dir = vwhere(t_len > 1e-9,
-                   vscale(rel_t, 1.0 / jnp.maximum(t_len, 1e-9)),
+                   vscale(rel_t0, 1.0 / jnp.maximum(t_len, 1e-9)),
                    vzero(t_len))
     tt_car = _iw_vec(inv_iw, vcross(r_car, t_dir))
     tt_ball = _iw_vec(iw_ball, vcross(r_ball, t_dir))
     t_denom = (car_inv_mass + ball_inv_mass
                + vdot(t_dir, vcross(tt_car, r_car))
                + vdot(t_dir, vcross(tt_ball, r_ball)))
-    j_t = -vdot(t_dir, vsub(v_ball2, v_car2)) / jnp.maximum(t_denom, 1e-12)
     mu = C.CARBALL_COLLISION_FRICTION
-    j_t = jnp.clip(j_t, -mu * j_n, mu * j_n)
-    imp_total = vadd(imp, vscale(t_dir, j_t))
+
+    # Sequential-impulse iterations over the coupled rows (bullet runs 10);
+    # restitution 0, |j_t| <= mu * j_n
+    zero3 = vzero(rel_vel)
+    dvb, dwb, dvc, dwc = zero3, zero3, zero3, zero3
+    jn_acc = jnp.zeros_like(rel_vel)
+    jt_acc = jnp.zeros_like(rel_vel)
+    for _ in range(10):
+        rv = vdot(n, vsub(vadd(v_ball, dvb, vcross(dwb, r_ball)),
+                          vadd(v_car, dvc, vcross(dwc, r_car))))
+        djn = -rv / jnp.maximum(denom, 1e-12)
+        djn = jnp.maximum(jn_acc + djn, 0.0) - jn_acc
+        djn = jnp.where(touching, djn, 0.0)
+        jn_acc = jn_acc + djn
+        dimp = vscale(n, djn)
+        dvb = vadd(dvb, vscale(dimp, ball_inv_mass))
+        dwb = vadd(dwb, _iw_vec(iw_ball, vcross(r_ball, dimp)))
+        dvc = vsub(dvc, vscale(dimp, car_inv_mass))
+        dwc = vadd(dwc, _iw_vec(inv_iw, vcross(r_car, cv.vneg(dimp))))
+
+        rt = vdot(t_dir, vsub(vadd(v_ball, dvb, vcross(dwb, r_ball)),
+                              vadd(v_car, dvc, vcross(dwc, r_car))))
+        djt = -rt / jnp.maximum(t_denom, 1e-12)
+        djt = jnp.clip(jt_acc + djt, -mu * jn_acc, mu * jn_acc) - jt_acc
+        djt = jnp.where(touching, djt, 0.0)
+        jt_acc = jt_acc + djt
+        dimp = vscale(t_dir, djt)
+        dvb = vadd(dvb, vscale(dimp, ball_inv_mass))
+        dwb = vadd(dwb, _iw_vec(iw_ball, vcross(r_ball, dimp)))
+        dvc = vsub(dvc, vscale(dimp, car_inv_mass))
+        dwc = vadd(dwc, _iw_vec(inv_iw, vcross(r_car, cv.vneg(dimp))))
+
+    imp_total = vadd(vscale(n, jn_acc), vscale(t_dir, jt_acc))
+    j_n = jn_acc
 
     def car_sum(vec):
         return tuple(jnp.sum(c, axis=0) for c in vec)
@@ -942,8 +993,9 @@ def _resolve_car_ball(k: TickConsts, st, ball_pos, ball_vel, ball_ang_vel,
     can_extra = touching & (
         (tick_count > st['ball_hit_extra_impulse_tick'] + 1)
         | (st['ball_hit_extra_impulse_tick'] > tick_count))
+    # GetState() at callback time reads pre-force velocities
     rel_pos = vsub(ball_pos, st['pos'])
-    rel_v = vsub(ball_vel, st['vel'])
+    rel_v = vsub(ball_vel_pre, cars_vel_pre)
     rel_speed = jnp.minimum(vnorm(rel_v),
                             C.BALL_CAR_EXTRA_IMPULSE_MAXDELTAVEL_UU)
     z_scale = C.BALL_CAR_EXTRA_IMPULSE_Z_SCALE
@@ -983,15 +1035,62 @@ def _mslice(M, i):
     return tuple(tuple(M[r][c][i] for c in range(3)) for r in range(3))
 
 
-def _car_car(k: TickConsts, st, inv_iw, alive):
-    """contacts.car_car_interactions over static ordered pairs.
+def _obb_sat_pair(he, Ri, Rj, ci, cj):
+    """15-axis SAT for one OBB pair (twin of contacts._obb_pair_sat for a
+    single (i, j)).  Returns (sep, n Vec oriented i->j, contact_pt Vec)."""
+    d = vsub(cj, ci)
+    axes_i = [(Ri[0][kk], Ri[1][kk], Ri[2][kk]) for kk in range(3)]
+    axes_j = [(Rj[0][kk], Rj[1][kk], Rj[2][kk]) for kk in range(3)]
+    cand = axes_i + axes_j + [vcross(a, b) for a in axes_i for b in axes_j]
 
-    Returns (dvel (C Vec), dang, cache_dv, got_demoed, contact_updates,
-    bump_latch (4 per-car bools dict)).  All per-pair math is env-shaped."""
+    best_sep = None
+    best_ax = None
+    best_da = None
+    for axis in cand:
+        alen = vnorm(axis)
+        ok = alen > 1e-6
+        ax = vscale(axis, 1.0 / jnp.maximum(alen, 1e-6))
+        radius = sum(he[kk] * jnp.abs(vdot(ax, axes_i[kk]))
+                     for kk in range(3)) \
+            + sum(he[kk] * jnp.abs(vdot(ax, axes_j[kk])) for kk in range(3))
+        dist_a = vdot(ax, d)
+        sep_a = jnp.where(ok, jnp.abs(dist_a) - radius, -jnp.inf)
+        if best_sep is None:
+            best_sep, best_ax, best_da = sep_a, ax, dist_a
+        else:
+            better = sep_a > best_sep
+            best_ax = vwhere(better, ax, best_ax)
+            best_da = jnp.where(better, dist_a, best_da)
+            best_sep = jnp.maximum(best_sep, sep_a)
+    n = vscale(best_ax, jnp.where(best_da < 0, -1.0, 1.0))
+
+    # support points: zero near-perpendicular components so face contacts
+    # land on face centers
+    def _support(axes, center, nvec):
+        out = center
+        for kk in range(3):
+            c = vdot(nvec, axes[kk])
+            s = jnp.where(jnp.abs(c) > 1e-3, jnp.sign(c), 0.0) * he[kk]
+            out = vadd(out, vscale(axes[kk], s))
+        return out
+
+    pa = _support(axes_i, ci, n)
+    pb = _support(axes_j, cj, cv.vneg(n))
+    contact_pt = vscale(vadd(pa, pb), 0.5)
+    return best_sep, n, contact_pt
+
+
+def _car_car(k: TickConsts, st, inv_iw, alive, vel_pre):
+    """contacts.car_car_interactions over static unordered pairs: OBB SAT
+    contact, central impulse + friction row, split-impulse pushout; bump
+    logic reads pre-force velocities.
+
+    Returns (dvel (C Vec), dang, push, cache_dv, got_demoed,
+    contact_updates, bump_latch (4 per-car bools dict))."""
     mut = k.mut
     Cn = k.num_cars
     he = k.half_extents
-    touch_rad = float(min(he))
+    inv_mass = 1.0 / mut.car_mass
 
     box_center = vadd(st['pos'], cv.matvec(st['rot'],
                                            cv.vconst(k.hitbox_offset,
@@ -1001,6 +1100,7 @@ def _car_car(k: TickConsts, st, inv_iw, alive):
 
     dvel = [vzero(zeroS) for _ in range(Cn)]
     dang = [vzero(zeroS) for _ in range(Cn)]
+    push = [vzero(zeroS) for _ in range(Cn)]
     cache_dv = [vzero(zeroS) for _ in range(Cn)]
     got_demoed = [falseS for _ in range(Cn)]
     bumped_any = [falseS for _ in range(Cn)]
@@ -1011,104 +1111,112 @@ def _car_car(k: TickConsts, st, inv_iw, alive):
     lat_demo = [falseS for _ in range(Cn)]
     lat_demoed = [falseS for _ in range(Cn)]
 
+    ups = cv.up(st['rot'])
+
     for i in range(Cn):
-        ci = _vslice(box_center, i)
-        Ri = _mslice(st['rot'], i)
-        iwi = _mslice(inv_iw, i)
-        pos_i = _vslice(st['pos'], i)
-        vel_i = _vslice(st['vel'], i)
-        w_i = _vslice(st['ang_vel'], i)
-        for j in range(Cn):
-            if i == j:
-                continue
+        for j in range(i + 1, Cn):
+            ci = _vslice(box_center, i)
             cj = _vslice(box_center, j)
-            pos_j = _vslice(st['pos'], j)
-            vel_j = _vslice(st['vel'], j)
-            w_j = _vslice(st['ang_vel'], j)
-            iwj = _mslice(inv_iw, j)
+            Ri = _mslice(st['rot'], i)
+            Rj = _mslice(st['rot'], j)
 
-            local_j = cv.mat_t_vec(Ri, vsub(cj, ci))
-            clamped = (jnp.clip(local_j[0], -he[0], he[0]),
-                       jnp.clip(local_j[1], -he[1], he[1]),
-                       jnp.clip(local_j[2], -he[2], he[2]))
-            closest_ij = vadd(ci, cv.matvec(Ri, clamped))
-            dist = vnorm(vsub(cj, closest_ij))
-            overlap = (dist < touch_rad) & alive[i] & alive[j]
+            sep, n, cp = _obb_sat_pair(he, Ri, Rj, ci, cj)
+            overlap = (sep < 0.0) & alive[i] & alive[j]
 
-            n = vnormalize(vsub(cj, ci))
-            cp = vscale(vadd(closest_ij, cj), 0.5)
-            inv_mass = 1.0 / mut.car_mass
-            r_i = vscale(vsub(cp, pos_i), C.UU_TO_BT)
-            r_j = vscale(vsub(cp, pos_j), C.UU_TO_BT)
-            v_i = vadd(vscale(vel_i, C.UU_TO_BT), vcross(w_i, r_i))
-            v_j = vadd(vscale(vel_j, C.UU_TO_BT), vcross(w_j, r_j))
+            # central impulse (converged face-manifold equivalent):
+            # linear denominator, applied at the centers of mass
+            v_i = vscale(_vslice(st['vel'], i), C.UU_TO_BT)
+            v_j = vscale(_vslice(st['vel'], j), C.UU_TO_BT)
             rel_vel = vdot(n, vsub(v_j, v_i))
-            ta_i = _iw_vec(iwi, vcross(r_i, n))
-            ta_j = _iw_vec(iwj, vcross(r_j, n))
-            denom = (2 * inv_mass + vdot(n, vcross(ta_i, r_i))
-                     + vdot(n, vcross(ta_j, r_j)))
-            rest = C.CARCAR_COLLISION_RESTITUTION * -rel_vel
-            rest = jnp.where(jnp.abs(rel_vel) < 0.2, 0.0, rest)
-            rest = jnp.maximum(rest, 0.0)
-            j_n = jnp.maximum((rest - rel_vel) / jnp.maximum(denom, 1e-12),
-                              0.0)
+            denom = 2 * inv_mass
+            rest = _restitution_rhs(
+                vdot(n, vscale(vsub(_vslice(vel_pre, j),
+                                    _vslice(vel_pre, i)), C.UU_TO_BT)),
+                C.CARCAR_COLLISION_RESTITUTION)
+            j_n = jnp.maximum((rest - rel_vel) / denom, 0.0)
             j_n = jnp.where(overlap, j_n, 0.0)
             imp = vscale(n, j_n)
 
+            # friction row (mu = CARCAR_COLLISION_FRICTION)
+            rel_t = vsub(vadd(v_j, vscale(imp, inv_mass)),
+                         vsub(v_i, vscale(imp, inv_mass)))
+            rel_t = vsub(rel_t, vscale(n, vdot(n, rel_t)))
+            t_len = vnorm(rel_t)
+            t_dir = vwhere(t_len > 1e-9,
+                           vscale(rel_t, 1.0 / jnp.maximum(t_len, 1e-9)),
+                           vzero(t_len))
+            j_t = jnp.clip(-t_len / denom,
+                           -C.CARCAR_COLLISION_FRICTION * j_n,
+                           C.CARCAR_COLLISION_FRICTION * j_n)
+            imp = vadd(imp, vscale(t_dir, j_t))
+
             dvel[j] = vadd(dvel[j], vscale(imp, inv_mass * C.BT_TO_UU))
             dvel[i] = vadd(dvel[i], vscale(imp, -inv_mass * C.BT_TO_UU))
-            dang[j] = vadd(dang[j], _iw_vec(iwj, vcross(r_j, imp)))
-            dang[i] = vadd(dang[i], _iw_vec(iwi, vcross(r_i, cv.vneg(imp))))
 
-            # --- bump / demo (i bumps j)
-            delta_pos = vsub(pos_j, pos_i)
-            going_towards = vdot(vel_i, delta_pos) > 0
-            vel_dir = vnormalize(vel_i)
-            dir_to_other = vnormalize(delta_pos)
-            speed_towards = vdot(vel_i, dir_to_other)
-            other_away = vdot(vel_j, vel_dir)
-            in_cooldown = (st['car_contact_other_id'][i] == (j + 1)) & (
-                st['car_contact_cooldown'][i] > 0)
-            local_pt = cv.mat_t_vec(Ri, vsub(cp, pos_i))
-            hit_with_bumper = local_pt[0] > C.BUMP_MIN_FORWARD_DIST
+            # split-impulse positional pushout at true overlap
+            push_v = vscale(n, jnp.where(overlap, jnp.maximum(-sep, 0.0),
+                                         0.0) * C.SOLVER_ERP2)
+            push[j] = vadd(push[j], push_v)
+            push[i] = vsub(push[i], push_v)
 
-            bump = (overlap & going_towards & ~in_cooldown
-                    & (speed_towards > other_away) & hit_with_bumper)
+            # --- bump / demo, both directions (a bumps b); GetState() at
+            # callback time reads pre-force velocities
+            for a, b in ((i, j), (j, i)):
+                pos_a = _vslice(st['pos'], a)
+                pos_b = _vslice(st['pos'], b)
+                va = _vslice(vel_pre, a)
+                vb = _vslice(vel_pre, b)
+                Ra = Ri if a == i else Rj
 
-            if mut.demo_mode == "ON_CONTACT":
-                is_demo = bump
-            elif mut.demo_mode == "DISABLED":
-                is_demo = falseS
-            else:
-                is_demo = bump & st['is_supersonic'][i]
-            if not mut.enable_team_demos and k.teams[i] == k.teams[j]:
-                is_demo = falseS
+                delta_pos = vsub(pos_b, pos_a)
+                going_towards = vdot(va, delta_pos) > 0
+                vel_dir = vnormalize(va)
+                dir_to_other = vnormalize(delta_pos)
+                speed_towards = vdot(va, dir_to_other)
+                other_away = vdot(vb, vel_dir)
+                in_cooldown = (st['car_contact_other_id'][a] == (b + 1)) & (
+                    st['car_contact_cooldown'][a] > 0)
+                local_pt = cv.mat_t_vec(Ra, vsub(cp, pos_a))
+                hit_with_bumper = local_pt[0] > C.BUMP_MIN_FORWARD_DIST
 
-            plain_bump = bump & ~is_demo
-            ground_hit = st['is_on_ground'][j]
-            base_scale = jnp.where(
-                ground_hit,
-                cv.curve(C.BUMP_VEL_AMOUNT_GROUND_CURVE, speed_towards),
-                cv.curve(C.BUMP_VEL_AMOUNT_AIR_CURVE, speed_towards))
-            up_j = _vslice(cv.up(st['rot']), j)
-            hit_up_dir = vwhere(ground_hit, up_j,
-                                cv.vconst((0.0, 0.0, 1.0), zeroS))
-            bump_imp = vadd(
-                vscale(vel_dir, base_scale),
-                vscale(hit_up_dir,
-                       cv.curve(C.BUMP_UPWARD_VEL_AMOUNT_CURVE, speed_towards)
-                       * mut.bump_force_scale))
-            cache_dv[j] = vadd(cache_dv[j],
-                               vwhere(plain_bump, bump_imp, vzero(zeroS)))
-            got_demoed[j] = got_demoed[j] | is_demo
-            bumped_any[i] = bumped_any[i] | bump
-            bumped_id[i] = jnp.maximum(bumped_id[i],
-                                       jnp.where(bump, j + 1, 0))
-            if k.teams[i] != k.teams[j]:
-                lat_bump[i] = lat_bump[i] | bump
-                lat_bumped[j] = lat_bumped[j] | bump
-                lat_demo[i] = lat_demo[i] | is_demo
-                lat_demoed[j] = lat_demoed[j] | is_demo
+                bump = (overlap & going_towards & ~in_cooldown
+                        & (speed_towards > other_away) & hit_with_bumper)
+
+                if mut.demo_mode == "ON_CONTACT":
+                    is_demo = bump
+                elif mut.demo_mode == "DISABLED":
+                    is_demo = falseS
+                else:
+                    is_demo = bump & st['is_supersonic'][a]
+                if not mut.enable_team_demos and k.teams[a] == k.teams[b]:
+                    is_demo = falseS
+
+                plain_bump = bump & ~is_demo
+                ground_hit = st['is_on_ground'][b]
+                base_scale = jnp.where(
+                    ground_hit,
+                    cv.curve(C.BUMP_VEL_AMOUNT_GROUND_CURVE, speed_towards),
+                    cv.curve(C.BUMP_VEL_AMOUNT_AIR_CURVE, speed_towards))
+                up_b = _vslice(ups, b)
+                hit_up_dir = vwhere(ground_hit, up_b,
+                                    cv.vconst((0.0, 0.0, 1.0), zeroS))
+                bump_imp = vadd(
+                    vscale(vel_dir, base_scale),
+                    vscale(hit_up_dir,
+                           cv.curve(C.BUMP_UPWARD_VEL_AMOUNT_CURVE,
+                                    speed_towards)
+                           * mut.bump_force_scale))
+                cache_dv[b] = vadd(cache_dv[b],
+                                   vwhere(plain_bump, bump_imp, vzero(zeroS)))
+                got_demoed[b] = got_demoed[b] | is_demo
+                bumped_any[a] = bumped_any[a] | bump
+                bumped_id[a] = jnp.maximum(bumped_id[a],
+                                           jnp.where(bump, b + 1, 0))
+                if k.teams[a] != k.teams[b]:
+                    lat_bump[a] = lat_bump[a] | bump
+                    lat_bumped[b] = lat_bumped[b] | bump
+                    lat_demo[a] = lat_demo[a] | is_demo
+                    lat_demoed[b] = lat_demoed[b] | is_demo
 
     def stack_vec(lst):
         return tuple(jnp.stack([v[c] for v in lst], axis=0)
@@ -1126,8 +1234,9 @@ def _car_car(k: TickConsts, st, inv_iw, alive):
                    step_bumped=jnp.stack(lat_bumped, 0),
                    step_demo=jnp.stack(lat_demo, 0),
                    step_demoed=jnp.stack(lat_demoed, 0))
-    return (stack_vec(dvel), stack_vec(dang), stack_vec(cache_dv),
-            jnp.stack(got_demoed, 0), contact_updates, latches)
+    return (stack_vec(dvel), stack_vec(dang), stack_vec(push),
+            stack_vec(cache_dv), jnp.stack(got_demoed, 0), contact_updates,
+            latches)
 
 
 def _pads_pickup(k: TickConsts, st, pads_active, pads_cooldown, alive):
@@ -1338,6 +1447,12 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
     # ===================== World step ======================================
     gravity = (0.0, 0.0, mut.gravity_z)
 
+    # Pre-force velocities: bullet defers forces into the solver's
+    # externalForceImpulse; restitution + contact callbacks read velocities
+    # WITHOUT them (see physics/contacts.py docstrings)
+    cars_vel_pre = st['vel']
+    cars_ang_vel_pre = st['ang_vel']
+
     total_accel = vadd(cv.vconst(gravity, sticky_accel[0]), sticky_accel,
                        air_accel, jump_accel, ar_accel, boost_accel)
     total_ang_accel = vadd(air_ang_accel, ar_ang_accel)
@@ -1347,6 +1462,7 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
     # Ball: sleeping + gravity + drag
     bvel, bang = st['ball_vel'], st['ball_ang_vel']
     ball_awake = (vnorm(bvel) > 0) | (vnorm(bang) > 0)
+    ball_vel_pre = bvel
     drag = (1.0 - mut.ball_drag) ** dt
     st['ball_vel'] = vwhere(
         ball_awake,
@@ -1355,7 +1471,7 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
 
     # --- car-world
     cw_dv, cw_dw, cw_push, cw_contact, cw_normal = _resolve_car_world(
-        k, st, inv_iw)
+        k, st, inv_iw, cars_vel_pre, cars_ang_vel_pre)
     st['vel'] = vadd(st['vel'], cw_dv)
     st['ang_vel'] = vadd(st['ang_vel'], cw_dw)
     st['has_world_contact'] = cw_contact
@@ -1366,7 +1482,7 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
     cb_car_dv, cb_car_dw, cb_ball_dv, cb_ball_dw, ball_cache_dv, \
         hit_updates, _ = _resolve_car_ball(
             k, st, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'],
-            st['tick_count'], inv_iw, alive)
+            st['tick_count'], inv_iw, alive, cars_vel_pre, ball_vel_pre)
     st['vel'] = vadd(st['vel'], cb_car_dv)
     st['ang_vel'] = vadd(st['ang_vel'], cb_car_dw)
     st.update(hit_updates)
@@ -1375,14 +1491,14 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
 
     # --- ball-world
     bw_dv, bw_dw, bw_push, _ = _resolve_ball_world(
-        k, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'])
+        k, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'], ball_vel_pre)
     st['ball_vel'] = vadd(st['ball_vel'], bw_dv)
     st['ball_ang_vel'] = vadd(st['ball_ang_vel'], bw_dw)
 
     # --- car-car (+bump/demo)
     if Cn > 1:
-        cc_dv, cc_dw, cc_cache_dv, got_demoed, cc_updates, latches = \
-            _car_car(k, st, inv_iw, alive)
+        cc_dv, cc_dw, cc_push, cc_cache_dv, got_demoed, cc_updates, \
+            latches = _car_car(k, st, inv_iw, alive, cars_vel_pre)
         st['vel'] = vadd(st['vel'], cc_dv)
         st['ang_vel'] = vadd(st['ang_vel'], cc_dw)
         st.update(cc_updates)
@@ -1390,11 +1506,12 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
         st['demo_respawn_timer'] = jnp.where(got_demoed, mut.respawn_delay,
                                              st['demo_respawn_timer'])
     else:
+        cc_push = vzero(st['vel'][0])
         cc_cache_dv = vzero(st['vel'][0])
         latches = None
 
     # --- integrate transforms
-    st['pos'] = vadd(st['pos'], vscale(st['vel'], dt), cw_push)
+    st['pos'] = vadd(st['pos'], vscale(st['vel'], dt), cw_push, cc_push)
     st['rot'] = cv.integrate_rotation(st['rot'], st['ang_vel'], dt)
     ball_awake = (vnorm(st['ball_vel']) > 0) | (vnorm(st['ball_ang_vel']) > 0)
     st['ball_pos'] = vwhere(
