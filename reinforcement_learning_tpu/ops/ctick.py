@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from reinforcement_learning_tpu import constants as C
+from reinforcement_learning_tpu.physics import arena_geom as geom
 from reinforcement_learning_tpu.ops import cvec as cv
 from reinforcement_learning_tpu.ops.cvec import (
     vadd, vcross, vdot, vnorm, vnormalize, vscale, vsub, vwhere, vzero)
@@ -170,17 +171,20 @@ def _restitution_rhs(rel_vel, combined_restitution):
 
 def _contact_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
                        restitution_coeff, friction_coeff,
-                       vel_pre_bt=None, ang_vel_pre=None):
+                       vel_pre_bt=None, ang_vel_pre=None,
+                       iterations: int = 1):
     """Component twin of contacts._contact_impulse_vs_static.
     Returns (dv Vec (bt), dw Vec, j_n).  ``vel_pre_bt``/``ang_vel_pre``:
     velocities BEFORE this tick's force integration — restitution reads
-    them (bullet's externalForceImpulse split)."""
+    them (bullet's externalForceImpulse split).  ``iterations``: repeats
+    of the sequential normal+friction accumulator pair (Bullet: 10; one
+    pass is exact for sphere contacts)."""
     vel_at = vadd(vel_bt, vcross(ang_vel, r_bt))
     rel_vel = vdot(n, vel_at)
 
     torque_axis = vcross(r_bt, n)
     ang_comp = _iw_vec(inv_iw, torque_axis)
-    denom = inv_mass + vdot(n, vcross(ang_comp, r_bt))
+    denom = jnp.maximum(inv_mass + vdot(n, vcross(ang_comp, r_bt)), 1e-12)
 
     if vel_pre_bt is None:
         rel_vel_rest = rel_vel
@@ -188,28 +192,38 @@ def _contact_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
         wpre = ang_vel if ang_vel_pre is None else ang_vel_pre
         rel_vel_rest = vdot(n, vadd(vel_pre_bt, vcross(wpre, r_bt)))
     rest = _restitution_rhs(rel_vel_rest, restitution_coeff)
-    j_n = jnp.maximum((rest - rel_vel) / jnp.maximum(denom, 1e-12), 0.0)
 
-    imp = vscale(n, j_n)
-    dv = vscale(imp, inv_mass)
-    dw = _iw_vec(inv_iw, vcross(r_bt, imp))
-
-    vel_at2 = vadd(vadd(vel_bt, dv), vcross(vadd(ang_vel, dw), r_bt))
-    tang = vsub(vel_at2, vscale(n, vdot(n, vel_at2)))
+    # Friction direction fixed at SETUP from the pre-solve velocity
+    # (bullet setupContactConstraint); magnitude rows see running vel.
+    tang = vsub(vel_at, vscale(n, vdot(n, vel_at)))
     t_len = vnorm(tang)
     t_dir = vwhere(t_len > 1e-9, vscale(tang, 1.0 / jnp.maximum(t_len, 1e-9)),
                    vzero(t_len))
-
     t_axis = vcross(r_bt, t_dir)
     t_ang = _iw_vec(inv_iw, t_axis)
-    t_denom = inv_mass + vdot(t_dir, vcross(t_ang, r_bt))
-    rel_vel_t = vdot(t_dir, vel_at2)
-    j_t = -rel_vel_t / jnp.maximum(t_denom, 1e-12)
-    j_t = jnp.clip(j_t, -friction_coeff * j_n, friction_coeff * j_n)
+    t_denom = jnp.maximum(inv_mass + vdot(t_dir, vcross(t_ang, r_bt)), 1e-12)
 
-    imp_t = vscale(t_dir, j_t)
-    dv = vadd(dv, vscale(imp_t, inv_mass))
-    dw = vadd(dw, _iw_vec(inv_iw, vcross(r_bt, imp_t)))
+    dv = vzero(rel_vel)
+    dw = vzero(rel_vel)
+    j_n = jnp.zeros_like(rel_vel)
+    j_t = jnp.zeros_like(rel_vel)
+    for _ in range(iterations):
+        v_at = vadd(vadd(vel_bt, dv), vcross(vadd(ang_vel, dw), r_bt))
+        dj = (rest - vdot(n, v_at)) / denom
+        new_acc = jnp.maximum(j_n + dj, 0.0)
+        imp = vscale(n, new_acc - j_n)
+        dv = vadd(dv, vscale(imp, inv_mass))
+        dw = vadd(dw, _iw_vec(inv_iw, vcross(r_bt, imp)))
+        j_n = new_acc
+
+        v_at = vadd(vadd(vel_bt, dv), vcross(vadd(ang_vel, dw), r_bt))
+        djt = -vdot(t_dir, v_at) / t_denom
+        lim = friction_coeff * j_n
+        new_t = jnp.clip(j_t + djt, -lim, lim)
+        imp_t = vscale(t_dir, new_t - j_t)
+        dv = vadd(dv, vscale(imp_t, inv_mass))
+        dw = vadd(dw, _iw_vec(inv_iw, vcross(r_bt, imp_t)))
+        j_t = new_t
     return dv, dw, j_n
 
 
@@ -226,8 +240,6 @@ def _wheel_raycasts(k: TickConsts, st, inv_iw):
     wheel_dir = cv.vneg(up)
     sus_sub_uu = C.BTVehicle.SUSPENSION_SUBTRACTION * C.BT_TO_UU
     travel = C.BTVehicle.MAX_SUSPENSION_TRAVEL
-    combined_rest = max(C.CAR_COLLISION_RESTITUTION, C.WORLD_RESTITUTION)
-
     out = dict(hit=[], cp=[], n=[], susp_len=[], susp_rel_vel=[],
                clipped_inv=[], extra_push=[], hard=[])
     for w in range(4):
@@ -257,9 +269,10 @@ def _wheel_raycasts(k: TickConsts, st, inv_iw):
         push_thresh = rest_len + radius - sus_sub_uu
         delta = (trace_len - push_thresh) * C.UU_TO_BT
         needs = hit & (trace_len < push_thresh)
-        restitution = combined_rest * -proj_vel
+        # resolveSingleCollision hard-codes zero restitution
+        # (btContactConstraint.cpp:59,82)
         pos_err = 0.2 * -delta / dt
-        vel_err = -(1.0 + restitution) * proj_vel
+        vel_err = -proj_vel
         r_cross_n = vcross(rel, n)
         ang_term = vdot(vcross(_iw_vec(inv_iw, r_cross_n), rel), n)
         denom0 = (1.0 / mut.car_mass) + ang_term
@@ -774,13 +787,24 @@ def _slot_const(values, sample):
 
 
 def _resolve_car_world(k: TickConsts, st, inv_iw, vel_pre, ang_vel_pre):
-    """contacts.resolve_car_world (corner-centroid per plane).
-    Corners contact at the 2uu triangle collision-margin surface
-    (C.MESH_COLLISION_MARGIN); restitution reads pre-force velocities.
+    """contacts.resolve_car_world twin.
+
+    True planes (floor/ceiling/side walls, geom.TRUE_PLANE): single
+    support-vertex manifold point per tick (btConvexPlaneCollisionAlgorithm
+    through the compound child), active below the 0.02*(|he+2uu|+|offset|)
+    contact breaking threshold, tie toward +half_extent.  Mesh stand-in
+    planes: corner centroid at the 2uu triangle collision-margin surface.
+    Restitution reads pre-force velocities.
     Returns (dvel Vec uu, dang Vec, push Vec uu, has_contact, normal Vec)."""
     mut = k.mut
     inv_mass = 1.0 / mut.car_mass
     valid = _plane_validity(k, st['pos'])
+    true_plane = np.asarray(geom._TRUE_PLANE)
+    he = k.half_extents
+    off = k.hitbox_offset
+    brk = C.CONTACT_BREAK_FRAC * (
+        float(np.linalg.norm(np.asarray(he) + C.MESH_COLLISION_MARGIN))
+        + float(np.linalg.norm(np.asarray(off))))
 
     # 8 hitbox corners in world frame (corners_local includes the offset)
     corners = [vadd(st['pos'], cv.matvec(st['rot'],
@@ -798,29 +822,42 @@ def _resolve_car_world(k: TickConsts, st, inv_iw, vel_pre, ang_vel_pre):
     vel_pre_bt = vscale(vel_pre, C.UU_TO_BT)
     for p, plane in enumerate(k.planes):
         pn = plane[:3]
-        ncont = zero
-        cx, cy, cz = zero, zero, zero
-        max_depth = zero
-        for corner in corners:
-            d = _plane_dist(plane, corner)
-            pen = -d + C.MESH_COLLISION_MARGIN
-            act = pen > 0 if valid[p] is True else valid[p] & (pen > 0)
-            actf = act.astype(zero.dtype)
-            ncont = ncont + actf
-            cx = cx + actf * corner[0]
-            cy = cy + actf * corner[1]
-            cz = cz + actf * corner[2]
-            max_depth = jnp.maximum(max_depth, jnp.where(act, pen, 0.0))
-        plane_active = ncont > 0
-        inv_n = 1.0 / jnp.maximum(ncont, 1.0)
-        centroid = (cx * inv_n, cy * inv_n, cz * inv_n)
-
         n = cv.vconst(pn, zero)
-        r_bt = vscale(vsub(centroid, st['pos']), C.UU_TO_BT)
+        if true_plane[p]:
+            # Support vertex along -n in box local frame, >=0 tie -> +he
+            ldir = cv.mat_t_vec(st['rot'], cv.vneg(n))
+            sup_local = tuple(
+                jnp.where(ldir[i] >= 0.0, off[i] + he[i], off[i] - he[i])
+                for i in range(3))
+            sup = vadd(st['pos'], cv.matvec(st['rot'], sup_local))
+            d = _plane_dist(plane, sup)
+            act = d < brk if valid[p] is True else valid[p] & (d < brk)
+            plane_active = act
+            contact_pt = sup
+            max_depth = jnp.maximum(-d, 0.0)
+        else:
+            ncont = zero
+            cx, cy, cz = zero, zero, zero
+            max_depth = zero
+            for corner in corners:
+                d = _plane_dist(plane, corner)
+                pen = -d + C.MESH_COLLISION_MARGIN
+                act = pen > 0 if valid[p] is True else valid[p] & (pen > 0)
+                actf = act.astype(zero.dtype)
+                ncont = ncont + actf
+                cx = cx + actf * corner[0]
+                cy = cy + actf * corner[1]
+                cz = cz + actf * corner[2]
+                max_depth = jnp.maximum(max_depth, jnp.where(act, pen, 0.0))
+            plane_active = ncont > 0
+            inv_n = 1.0 / jnp.maximum(ncont, 1.0)
+            contact_pt = (cx * inv_n, cy * inv_n, cz * inv_n)
+
+        r_bt = vscale(vsub(contact_pt, st['pos']), C.UU_TO_BT)
         dv_bt, dw, _ = _contact_vs_static(
             vel_bt, st['ang_vel'], r_bt, n, inv_mass, inv_iw,
             mut.car_world_restitution, mut.car_world_friction,
-            vel_pre_bt=vel_pre_bt, ang_vel_pre=ang_vel_pre)
+            vel_pre_bt=vel_pre_bt, ang_vel_pre=ang_vel_pre, iterations=10)
 
         dvel = vadd(dvel, vwhere(plane_active, dv_bt, vzero(zero)))
         dang = vadd(dang, vwhere(plane_active, dw, vzero(zero)))

@@ -64,6 +64,16 @@ FLOOR, CEILING, WALL_XN, WALL_XP, WALL_YN, WALL_YP = range(6)
 CORNER0 = 6
 GOAL_XN, GOAL_XP, GOAL_CEIL, NET_YN, NET_YP = 10, 11, 12, 13, 14
 
+# Which planes are real btStaticPlaneShapes in the reference arena
+# (floor/ceiling/side walls, Arena.cpp:1060-1100) as opposed to
+# plane-approximations of triangle-mesh surfaces (back walls, corners,
+# goal box).  Car-vs-true-plane contacts go through Bullet's
+# btConvexPlaneCollisionAlgorithm (single support-vertex manifold point);
+# car-vs-mesh contacts go through GJK with the 2uu triangle margin.
+_TRUE_PLANE = np.zeros(NUM_PLANES, bool)
+_TRUE_PLANE[[FLOOR, CEILING, WALL_XN, WALL_XP]] = True
+TRUE_PLANE = jnp.asarray(_TRUE_PLANE)
+
 
 # --- hoops arena plane table ------------------------------------------------
 # The hoops arena ("Dunk House", reference extents RLConst.h:18-20) is a
@@ -89,6 +99,20 @@ _PLANES_HOOPS = np.array([
 ], dtype=np.float32)
 PLANE_N_HOOPS = jnp.asarray(_PLANES_HOOPS[:, :3])
 PLANE_D_HOOPS = jnp.asarray(_PLANES_HOOPS[:, 3])
+
+# Hoops adds real y-wall planes (Arena.cpp:1104-1117); corners stay
+# mesh-approximations.
+_TRUE_PLANE_HOOPS = np.zeros(_PLANES_HOOPS.shape[0], bool)
+_TRUE_PLANE_HOOPS[:6] = True
+TRUE_PLANE_HOOPS = jnp.asarray(_TRUE_PLANE_HOOPS)
+
+
+def get_true_plane_mask(mode: str = "soccar"):
+    """(P,) bool: which planes are real btStaticPlaneShapes in the
+    reference (single support-point manifolds) vs mesh stand-ins."""
+    if mode == "hoops":
+        return TRUE_PLANE_HOOPS
+    return TRUE_PLANE
 
 
 def get_planes(mode: str = "soccar"):

@@ -139,13 +139,12 @@ def wheel_raycasts(cars: CarsState, cfg: CarConfig, mut: MutatorConfig,
     push_thresh = rest_len + radii - sus_sub_uu
     delta = (trace_len - push_thresh) * C.UU_TO_BT  # negative = penetration
     needs_push = hit & (trace_len < push_thresh)
-    # resolveSingleCollision vs static: impulse along normal
+    # resolveSingleCollision vs static: impulse along normal.  Restitution
+    # is hard-coded ZERO there ("no friction and no restitution",
+    # btContactConstraint.cpp:59,82) regardless of body materials.
     rel_vel_n = proj_vel  # normal . velocity at contact (bt)
-    combined_rest = jnp.maximum(C.CAR_COLLISION_RESTITUTION,
-                                C.WORLD_RESTITUTION)
-    restitution = combined_rest * -rel_vel_n
     positional_err = 0.2 * -delta / dt
-    velocity_err = -(1.0 + restitution) * rel_vel_n
+    velocity_err = -rel_vel_n
     r_cross_n = jnp.cross(rel, normal)
     ang_term = m.dot(
         jnp.cross(jnp.einsum('cij,cwj->cwi', inv_inertia_ws, r_cross_n), rel),

@@ -43,12 +43,17 @@ def _restitution_rhs(rel_vel, combined_restitution):
 
 def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
                                restitution_coeff, friction_coeff,
-                               vel_pre_bt=None, ang_vel_pre=None):
+                               vel_pre_bt=None, ang_vel_pre=None,
+                               iterations: int = 1):
     """One contact of a dynamic body against the static world.
 
     Returns (dv_bt (3,), dw (3,), normal_impulse ()).  Solves the normal row
-    (lower limit 0) then one velocity-dependent friction row clamped by
-    mu * j_n, exactly like one solver iteration on a fresh constraint.
+    (accumulated impulse clamped >= 0) and a friction row along the
+    setup-time tangential direction (accumulated impulse clamped to
+    mu * j_n), sequentially like Bullet's solver.  ``iterations`` > 1
+    repeats the normal+friction pair with running velocities, converging
+    to the coupled solution (Bullet default is 10 iterations; for sphere
+    contacts the rows decouple and one pass is exact).
     Shapes support leading batch axes.
 
     ``vel_pre_bt``/``ang_vel_pre``: velocity BEFORE this tick's force
@@ -63,7 +68,8 @@ def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
 
     torque_axis = jnp.cross(r_bt, n)
     ang_comp = jnp.einsum('...ij,...j->...i', inv_iw, torque_axis)
-    denom = inv_mass + m.dot(n, jnp.cross(ang_comp, r_bt))
+    denom = jnp.maximum(inv_mass + m.dot(n, jnp.cross(ang_comp, r_bt)),
+                        1e-12)
 
     if vel_pre_bt is None:
         rel_vel_rest = rel_vel
@@ -71,30 +77,43 @@ def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
         wpre = ang_vel if ang_vel_pre is None else ang_vel_pre
         rel_vel_rest = m.dot(n, vel_pre_bt + jnp.cross(wpre, r_bt))
     rest = _restitution_rhs(rel_vel_rest, restitution_coeff)
-    j_n = (rest - rel_vel) / jnp.maximum(denom, 1e-12)
-    j_n = jnp.maximum(j_n, 0.0)
 
-    imp = n * j_n[..., None]
-    dv = imp * inv_mass
-    dw = jnp.einsum('...ij,...j->...i', inv_iw, jnp.cross(r_bt, imp))
-
-    # Friction: tangential direction from post-normal-impulse velocity
-    vel_at2 = (vel_bt + dv) + jnp.cross(ang_vel + dw, r_bt)
-    tang = vel_at2 - n * m.dot(n, vel_at2, keepdims=True)
+    # Friction direction is fixed at constraint SETUP from the pre-solve
+    # relative velocity (bullet setupContactConstraint:
+    # cp.m_lateralFrictionDir1 = vel - vel.dot(n)*n before any solver
+    # iteration); only the magnitude rows see running velocities.
+    tang = vel_at - n * m.dot(n, vel_at, keepdims=True)
     t_len = m.norm(tang, keepdims=True)
     t_dir = jnp.where(t_len > 1e-9, tang / jnp.maximum(t_len, 1e-9), 0.0)
-
     t_axis = jnp.cross(r_bt, t_dir)
     t_ang = jnp.einsum('...ij,...j->...i', inv_iw, t_axis)
-    t_denom = inv_mass + m.dot(t_dir, jnp.cross(t_ang, r_bt))
-    rel_vel_t = m.dot(t_dir, vel_at2)
-    j_t = -rel_vel_t / jnp.maximum(t_denom, 1e-12)
-    j_t = jnp.clip(j_t, -friction_coeff * j_n, friction_coeff * j_n)
+    t_denom = jnp.maximum(
+        inv_mass + m.dot(t_dir, jnp.cross(t_ang, r_bt)), 1e-12)
 
-    imp_t = t_dir * j_t[..., None]
-    dv = dv + imp_t * inv_mass
-    dw = dw + jnp.einsum('...ij,...j->...i', inv_iw,
-                         jnp.cross(r_bt, imp_t))
+    iw = inv_iw
+
+    def _apply(imp):
+        return (imp * inv_mass,
+                jnp.einsum('...ij,...j->...i', iw, jnp.cross(r_bt, imp)))
+
+    dv = jnp.zeros_like(vel_at)
+    dw = jnp.zeros_like(vel_at)
+    j_n = jnp.zeros_like(rel_vel)
+    j_t = jnp.zeros_like(rel_vel)
+    for _ in range(iterations):
+        # Normal row
+        v_at = (vel_bt + dv) + jnp.cross(ang_vel + dw, r_bt)
+        dj = (rest - m.dot(n, v_at)) / denom
+        new_acc = jnp.maximum(j_n + dj, 0.0)
+        ddv, ddw = _apply(n * (new_acc - j_n)[..., None])
+        dv, dw, j_n = dv + ddv, dw + ddw, new_acc
+        # Friction row (limit from the current normal accumulator)
+        v_at = (vel_bt + dv) + jnp.cross(ang_vel + dw, r_bt)
+        djt = -m.dot(t_dir, v_at) / t_denom
+        lim = friction_coeff * j_n
+        new_t = jnp.clip(j_t + djt, -lim, lim)
+        ddv, ddw = _apply(t_dir * (new_t - j_t)[..., None])
+        dv, dw, j_t = dv + ddv, dw + ddw, new_t
     return dv, dw, j_n
 
 
@@ -194,11 +213,25 @@ def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
                       ang_vel_pre=None):
     """Car hitbox vs arena planes.
 
-    Per plane: centroid of contacting hitbox corners as the contact point.
-    A corner contacts while inside the box's contact breaking margin,
-    0.02*|half_extents| ~ 1.49uu (btCollisionShape.cpp:147-157); pushout
-    fires only on true overlap; restitution (0.3) reads the pre-force
-    velocity (see ``_contact_impulse_vs_static``).
+    Two contact families, matching the reference arena's two static body
+    kinds (Arena.cpp:1060-1100):
+
+    * True planes (floor/ceiling/side walls, btStaticPlaneShape): Bullet's
+      btConvexPlaneCollisionAlgorithm produces exactly ONE manifold point
+      per tick — the box support vertex along -n, with the >=0 tie broken
+      toward +half_extent (btBoxShape::localGetSupportingVertex via
+      btFsels) — active while its plane distance is below the pair's
+      contact breaking threshold 0.02 * (|he + 0.04bt| + |child offset|)
+      (btCollisionDispatcher.cpp:70-80 with the compound's
+      getAngularMotionDisc).  Perturbation iterations never run
+      (minimumPointsPerturbationThreshold defaults to 0).  Oracle-verified
+      on flip landings: a y-symmetric nose-down landing kicks the +y
+      corner first.
+    * Mesh stand-in planes (back walls/corners/goal box): box-vs-trimesh
+      GJK behavior — centroid of corners inside the triangle's 2uu margin.
+
+    Pushout fires only on true overlap; restitution (0.3) reads the
+    pre-force velocity (see ``_contact_impulse_vs_static``).
     Returns (dvel_uu (C,3), dang_vel (C,3), pos_push_uu (C,3),
     has_contact (C,), contact_normal (C,3)).
     """
@@ -208,6 +241,7 @@ def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
 
     # 8 corners in local box frame
     sx, sy, sz = half_extents
+    he = jnp.asarray(half_extents, jnp.float32)
     corners_local = jnp.array(
         [[ix * sx, iy * sy, iz * sz]
          for ix in (-1, 1) for iy in (-1, 1) for iz in (-1, 1)],
@@ -218,6 +252,9 @@ def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
     pn, pd = geom.get_planes(game_mode)
     d = jnp.einsum('cki,pi->ckp', corners, pn) + pd
     valid = geom.plane_validity(cars.pos, game_mode)  # (C, P)
+    true_plane = geom.get_true_plane_mask(game_mode)  # (P,)
+
+    # --- mesh stand-in planes: corner centroid inside the 2uu margin ---
     # Box-vs-trimesh runs through the GJK convex-triangle path where the
     # triangle's 0.04bt (2uu) collision margin extends outward: the contact
     # zero point sits 2uu above the surface (unlike the ball's special
@@ -228,29 +265,45 @@ def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
     corner_active = valid[:, None, :] & (pen > 0)
 
     ncontacts = jnp.sum(corner_active, axis=1)  # (C, P)
-    plane_active = ncontacts > 0
+    mesh_active = (ncontacts > 0) & ~true_plane
 
     w = corner_active.astype(jnp.float32)
     centroid = jnp.einsum('ckp,cki->cpi', w, corners) / jnp.maximum(
         ncontacts, 1)[..., None]
-    max_depth = jnp.max(jnp.where(corner_active, pen, 0.0), axis=1)  # (C, P)
+    mesh_depth = jnp.max(jnp.where(corner_active, pen, 0.0), axis=1)  # (C, P)
+
+    # --- true planes: single support-vertex contact ---
+    # local support dir = R^T (-n); corner = where(dir >= 0, +he, -he)
+    ldir = -jnp.einsum('cji,pj->cpi', cars.rot, pn)          # (C, P, 3)
+    sup_local = jnp.where(ldir >= 0.0, he, -he)              # (C, P, 3)
+    sup = box_center[:, None, :] + jnp.einsum(
+        'cij,cpj->cpi', cars.rot, sup_local)                 # (C, P, 3)
+    sup_d = m.dot(sup, jnp.broadcast_to(pn, sup.shape)) + pd  # (C, P)
+    brk = C.CONTACT_BREAK_FRAC * (
+        jnp.linalg.norm(he + C.MESH_COLLISION_MARGIN)
+        + jnp.linalg.norm(jnp.asarray(hitbox_offset, jnp.float32)))
+    plane_point_active = valid & true_plane & (sup_d < brk)
+
+    plane_active = mesh_active | plane_point_active
+    contact_pt = jnp.where(true_plane[None, :, None], sup, centroid)
+    max_depth = jnp.where(true_plane, jnp.maximum(-sup_d, 0.0), mesh_depth)
 
     inv_mass = 1.0 / mut.car_mass
 
     # Resolve each active plane contact (independent/jacobi over planes;
     # simultaneous multi-plane car contacts are rare outside corners)
-    n = jnp.broadcast_to(pn, centroid.shape)  # (C, P, 3)
-    r_bt = (centroid - cars.pos[:, None, :]) * C.UU_TO_BT
+    n = jnp.broadcast_to(pn, contact_pt.shape)  # (C, P, 3)
+    r_bt = (contact_pt - cars.pos[:, None, :]) * C.UU_TO_BT
     vel_pre_bt = (None if vel_pre_uu is None
                   else vel_pre_uu[:, None, :] * C.UU_TO_BT)
     wpre = (None if ang_vel_pre is None
-            else jnp.broadcast_to(ang_vel_pre[:, None, :], centroid.shape))
+            else jnp.broadcast_to(ang_vel_pre[:, None, :], contact_pt.shape))
     dv_bt, dw, _ = _contact_impulse_vs_static(
         cars.vel[:, None, :] * C.UU_TO_BT,
-        jnp.broadcast_to(cars.ang_vel[:, None, :], centroid.shape),
+        jnp.broadcast_to(cars.ang_vel[:, None, :], contact_pt.shape),
         r_bt, n, inv_mass, inv_iw[:, None],
         mut.car_world_restitution, mut.car_world_friction,
-        vel_pre_bt=vel_pre_bt, ang_vel_pre=wpre)
+        vel_pre_bt=vel_pre_bt, ang_vel_pre=wpre, iterations=10)
 
     act = plane_active[..., None]
     dvel = jnp.sum(jnp.where(act, dv_bt, 0.0), axis=1) * C.BT_TO_UU
@@ -285,19 +338,31 @@ def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
     touched (C,)).
     """
     box_center = cars.pos + m.rotate(cars.rot, hitbox_offset)
+    # Bullet runs box-vs-sphere through convex-convex GJK: closest point
+    # on the margin-SHRUNK box core (he - 0.04bt) against the sphere's
+    # center point, margins added back along the core-to-core direction.
+    # On faces this matches the full box; on edges/corners the shrunk core
+    # tilts the normal (oracle-verified on a bumper-edge ball hit:
+    # n=(-.9102,0,-.4141) vs the full-box (-.9154,0,-.4026)).
+    he_core = jnp.asarray(half_extents, jnp.float32) - C.MESH_COLLISION_MARGIN
     closest, local, _ = closest_point_on_box(
         jnp.broadcast_to(ball.pos, cars.pos.shape), box_center, cars.rot,
-        half_extents)
+        he_core)
     delta = ball.pos - closest
     dist = m.norm(delta)
-    # Manifold live within the pair's breaking threshold: 0.02 * min(ball
-    # disc, box disc) = the box's |half_extents| margin (~1.49uu)
-    break_gap = C.CONTACT_BREAK_FRAC * float(np.linalg.norm(half_extents))
-    touching = dist < mut.ball_radius + break_gap
+    # Hull gap and pair breaking threshold 0.02 * min(sphere disc
+    # radius+0.08bt, compound disc |he+0.04bt| + |child offset|)
+    gap = dist - C.MESH_COLLISION_MARGIN - mut.ball_radius
+    break_gap = C.CONTACT_BREAK_FRAC * jnp.minimum(
+        mut.ball_radius + C.SPHERE_BOUND_EXTRA,
+        jnp.linalg.norm(jnp.asarray(half_extents, jnp.float32)
+                        + C.MESH_COLLISION_MARGIN)
+        + jnp.linalg.norm(jnp.asarray(hitbox_offset, jnp.float32)))
+    touching = gap < break_gap
     if alive is not None:
         # Demoed cars have no contact response (Car.cpp:74-77)
         touching = touching & alive
-    # Normal from car to ball; if center inside box, fall back to
+    # Normal from car to ball; if center inside the core, fall back to
     # center-to-center direction
     n = jnp.where((dist > 1e-6)[:, None], m.normalize(delta),
                   m.normalize(ball.pos - box_center))
@@ -307,8 +372,13 @@ def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
     inertia_ball = 0.4 * mut.ball_mass * (mut.ball_radius * C.UU_TO_BT) ** 2
     inv_iw_ball = jnp.eye(3) / inertia_ball
 
-    r_car = (closest - cars.pos) * C.UU_TO_BT
-    r_ball = (closest - ball.pos) * C.UU_TO_BT
+    # Manifold points: on the sphere surface (B) and gap-offset from it on
+    # the box margin surface (A); the solver's lever arms use these
+    # (btManifoldResult convention, oracle posA = posB + n*d).
+    pt_ball = ball.pos - n * mut.ball_radius
+    pt_car = pt_ball + n * gap[:, None]
+    r_car = (pt_car - cars.pos) * C.UU_TO_BT
+    r_ball = (pt_ball - ball.pos) * C.UU_TO_BT
 
     v_car = cars.vel * C.UU_TO_BT + jnp.cross(cars.ang_vel, r_car)
     v_ball = ball.vel * C.UU_TO_BT + jnp.cross(
@@ -425,7 +495,7 @@ def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
     # BallHitInfo updates (Arena.cpp:293-327)
     hit_updates = dict(
         ball_hit_valid=jnp.where(touching, True, cars.ball_hit_valid),
-        ball_hit_rel_pos=jnp.where(tmask, closest - ball.pos,
+        ball_hit_rel_pos=jnp.where(tmask, pt_ball - ball.pos,
                                    cars.ball_hit_rel_pos),
         ball_hit_tick=jnp.where(touching, tick_count, cars.ball_hit_tick),
         ball_hit_extra_impulse_tick=jnp.where(

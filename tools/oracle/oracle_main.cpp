@@ -38,6 +38,7 @@
 
 #include <cstdio>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <filesystem>
 #include <fstream>
@@ -45,8 +46,49 @@
 #include <vector>
 
 #include "RocketSim.h"
+#include "btBulletCollisionCommon.h"
 
 using namespace RocketSim;
+
+// RS_ORACLE_DUMP=1: after each tick, print every persistent-manifold
+// contact point (world pos, normal, depth, applied impulses) to stderr.
+// Used to calibrate the JAX contact layer against Bullet's actual
+// manifold generation + sequential-impulse results.
+static void dumpManifolds(Arena* arena, int tick) {
+    auto* disp = arena->_bulletWorld.getDispatcher();
+    int n = disp->getNumManifolds();
+    for (int i = 0; i < n; i++) {
+        btPersistentManifold* mf = disp->getManifoldByIndexInternal(i);
+        if (mf->getNumContacts() == 0) continue;
+        const btCollisionObject* b0 = mf->getBody0();
+        const btCollisionObject* b1 = mf->getBody1();
+        auto shapeName = [](const btCollisionObject* o) -> const char* {
+            switch (o->getCollisionShape()->getShapeType()) {
+                case SPHERE_SHAPE_PROXYTYPE: return "sphere";
+                case COMPOUND_SHAPE_PROXYTYPE: return "car";
+                case BOX_SHAPE_PROXYTYPE: return "box";
+                case TRIANGLE_MESH_SHAPE_PROXYTYPE: return "mesh";
+                case STATIC_PLANE_PROXYTYPE: return "plane";
+                default: return "other";
+            }
+        };
+        for (int p = 0; p < mf->getNumContacts(); p++) {
+            const btManifoldPoint& pt = mf->getContactPoint(p);
+            btVector3 wb = pt.getPositionWorldOnB();
+            btVector3 wa = pt.getPositionWorldOnA();
+            btVector3 nn = pt.m_normalWorldOnB;
+            std::fprintf(stderr,
+                "MF t=%d %s-%s pt=%d/%d posB=(%.4f,%.4f,%.4f) "
+                "posA=(%.4f,%.4f,%.4f) n=(%.4f,%.4f,%.4f) d=%.5f "
+                "imp=%.4f lat1=%.4f lat2=%.4f lt=%d\n",
+                tick, shapeName(b0), shapeName(b1), p, mf->getNumContacts(),
+                wb.x(), wb.y(), wb.z(), wa.x(), wa.y(), wa.z(),
+                nn.x(), nn.y(), nn.z(), pt.getDistance(),
+                pt.getAppliedImpulse(), pt.m_appliedImpulseLateral1,
+                pt.m_appliedImpulseLateral2, pt.getLifeTime());
+        }
+    }
+}
 
 static float rf(std::FILE* f) {
     float v;
@@ -138,6 +180,26 @@ int main(int argc, char** argv) {
                 cars[c]->controls = cc;
             }
             arena->Step(1);
+            if (std::getenv("RS_ORACLE_DUMP")) dumpManifolds(arena, t);
+            if (std::getenv("RS_ORACLE_DUMP_WHEELS")) {
+                for (size_t c = 0; c < cars.size(); c++) {
+                    auto& veh = cars[c]->_bulletVehicle;
+                    for (int w = 0; w < veh.getNumWheels(); w++) {
+                        auto& wi = veh.m_wheelInfo[w];
+                        std::fprintf(stderr,
+                            "WH t=%d c=%zu w=%d hit=%d len=%.5f relv=%.5f "
+                            "force=%.4f invdot=%.5f cp=(%.4f,%.4f,%.4f)\n",
+                            t, c, w, (int)wi.m_raycastInfo.m_isInContact,
+                            wi.m_raycastInfo.m_suspensionLength,
+                            wi.m_suspensionRelativeVelocity,
+                            wi.m_wheelsSuspensionForce,
+                            wi.m_clippedInvContactDotSuspension,
+                            wi.m_raycastInfo.m_contactPointWS.x(),
+                            wi.m_raycastInfo.m_contactPointWS.y(),
+                            wi.m_raycastInfo.m_contactPointWS.z());
+                    }
+                }
+            }
 
             BallState b = arena->ball->GetState();
             wv(fout, b.pos); wv(fout, b.vel); wv(fout, b.angVel);
