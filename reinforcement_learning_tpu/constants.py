@@ -155,6 +155,8 @@ ARENA_CORNER_INTERCEPT = 8064.0
 
 # Bullet solver tuning used by the reference (reference: Arena.cpp:485-489)
 SOLVER_ERP2 = 0.8
+# bullet btContactSolverInfo defaults the fork keeps
+SPLIT_IMPULSE_TURN_ERP = 0.1
 RESTITUTION_VELOCITY_THRESHOLD_UU = 0.2 * BT_TO_UU  # bullet default 0.2 bt/s
 
 

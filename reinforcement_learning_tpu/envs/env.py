@@ -130,6 +130,14 @@ class RocketLeagueEnv:
             raise ValueError("the pallas megakernel backend is soccar-only; "
                              "use physics_backend='xla' for "
                              f"{config.game_mode}")
+        if config.arena.use_mesh and config.physics_backend == "pallas":
+            # The megakernel collides against the analytic-plane arena;
+            # an explicit pallas request therefore opts out of the mesh.
+            # (backend "auto" + mesh resolves to the XLA path instead.)
+            config = dataclasses.replace(
+                config, arena=dataclasses.replace(config.arena,
+                                                  use_mesh=False))
+            self.config = config
         self.params = config.arena
         self.teams_np = config.make_teams()
         self.teams = jnp.asarray(self.teams_np)
@@ -298,6 +306,8 @@ class RocketLeagueEnv:
         b = self.config.physics_backend
         if self.config.game_mode != "soccar":
             return False
+        if self.params.use_mesh:
+            return False  # mesh collision runs on the XLA path (for now)
         if b == "auto":
             try:
                 plat = jax.devices()[0].platform

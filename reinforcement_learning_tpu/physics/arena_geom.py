@@ -208,7 +208,7 @@ def box_contacts(pos: jnp.ndarray, rot: jnp.ndarray,
 
 
 def raycast_down_dir(start: jnp.ndarray, direction: jnp.ndarray,
-                     max_len, mode: str = "soccar"
+                     max_len, mode: str = "soccar", true_planes_only=False
                      ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Raycast against the arena planes.
 
@@ -216,10 +216,14 @@ def raycast_down_dir(start: jnp.ndarray, direction: jnp.ndarray,
     Returns (hit (...,), dist (...,), normal (..., 3)); dist = max_len when
     no hit.  Mirrors the suspension raycast the reference does against the
     world meshes (btVehicleRL.cpp:118-212) for the planar arena model.
+    ``true_planes_only`` keeps only the real btStaticPlaneShapes (used when
+    a MeshGrid supplies the mesh surfaces).
     """
     pn, _ = get_planes(mode)
     dist_p = signed_distances(start, mode)                 # (..., P)
     valid = plane_validity(start, mode)
+    if true_planes_only:
+        valid = valid & get_true_plane_mask(mode)
     denom = -jnp.einsum('...i,pi->...p', direction, pn)    # approach rate
     t = jnp.where(denom > 1e-6, dist_p / jnp.maximum(denom, 1e-6), jnp.inf)
     t = jnp.where(valid & (t >= 0), t, jnp.inf)

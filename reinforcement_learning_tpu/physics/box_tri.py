@@ -1,0 +1,211 @@
+"""Exact OBB-vs-triangle contact generation (the box-vs-trimesh narrowphase).
+
+The reference collides the car's compound box against ``btBvhTriangleMeshShape``
+arena meshes through Bullet's convex-convex pipeline (btConvexTriangleCallback
+-> btGjkPairDetector with a penetration-depth fallback): one contact point per
+overlapping triangle, computed between the margin-shrunk box core and the
+triangle, with both margins folded into the reported contact distance
+(reference: bullet btConvexConvexAlgorithm.cpp, btGjkPairDetector.cpp;
+RocketSim builds the meshes in RocketSim.cpp:165-170).
+
+GJK is an iterative pointer-light algorithm, fine on CPU but wasteful when
+vmapped: convergence is data-dependent.  For a box against a triangle the
+closest pair between the two convex sets is attained at one of a FIXED set of
+feature pairs, so this module computes it closed-form and branch-free:
+
+  * separated: min over 47 candidate pairs — 3 triangle vertices clamped to
+    the box, 8 box vertices projected to the triangle, 12x3 edge-edge
+    closest points (the standard polytope feature enumeration; exact, unlike
+    epsilon-terminated GJK),
+  * overlapping cores: 13-axis SAT (3 box faces, triangle normal, 9 edge
+    cross products) gives the exact minimum translation vector (Bullet uses
+    a sampled-direction Minkowski solver here — approximate; the landing
+    configurations that reach this path are floor/wall slams where the MTV
+    axis is the face normal both methods agree on).
+
+Everything broadcasts over leading batch axes and is jit/vmap-safe: fixed
+shapes, masked selects, no data-dependent control flow.
+
+All inputs in a consistent unit system (callers use uu).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from reinforcement_learning_tpu import maths as m
+from reinforcement_learning_tpu.physics.mesh import _closest_point_triangle
+
+# Box corner sign patterns (8, 3) and edge enumeration (12 edges as corner
+# index pairs), host-side constants.
+_CORNER_SIGNS = np.array([[sx, sy, sz]
+                          for sx in (-1.0, 1.0)
+                          for sy in (-1.0, 1.0)
+                          for sz in (-1.0, 1.0)], np.float32)
+_EDGES = []
+for _i in range(8):
+    for _axis, _stride in ((0, 4), (1, 2), (2, 1)):
+        _j = _i + _stride
+        if _j < 8 and _CORNER_SIGNS[_i, _axis] < 0 \
+                and (_CORNER_SIGNS[_i] * _CORNER_SIGNS[_j]).sum() == 1.0:
+            _EDGES.append((_i, _j))
+_EDGES = np.array(_EDGES, np.int32)  # (12, 2)
+assert _EDGES.shape == (12, 2)
+
+
+def _seg_seg_closest(p1, q1, p2, q2, eps=1e-9):
+    """Closest points between segments [p1,q1] and [p2,q2] (Ericson RTCD
+    5.1.9, branchless).  Returns (c1, c2) with trailing dim 3."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.sum(d1 * d1, -1)
+    e = jnp.sum(d2 * d2, -1)
+    f = jnp.sum(d2 * r, -1)
+    c = jnp.sum(d1 * r, -1)
+    b = jnp.sum(d1 * d2, -1)
+    denom = a * e - b * b
+    s = jnp.where(denom > eps, jnp.clip((b * f - c * e)
+                                        / jnp.where(denom > eps, denom, 1.0),
+                                        0.0, 1.0), 0.0)
+    t_raw = (b * s + f) / jnp.maximum(e, eps)
+    t = jnp.clip(t_raw, 0.0, 1.0)
+    # re-derive s when t was clamped
+    s_re = jnp.clip((b * t - c) / jnp.maximum(a, eps), 0.0, 1.0)
+    s = jnp.where(t_raw != t, s_re, s)
+    c1 = p1 + d1 * s[..., None]
+    c2 = p2 + d2 * t[..., None]
+    return c1, c2
+
+
+def closest_pair_box_triangle(he, v0, v1, v2):
+    """Closest pair between an origin-centered AABB with half extents ``he``
+    and triangle (v0, v1, v2), all in the box's local frame.
+
+    Returns (p_box (...,3), p_tri (...,3), dist (...,)).  Exact for
+    disjoint sets; dist is 0 (and the points meaningless) when they overlap
+    — detect overlap with :func:`sat_box_triangle` first.
+    """
+    he = jnp.broadcast_to(he, v0.shape)
+    tv = jnp.stack([v0, v1, v2], axis=-2)                        # (...,3,3)
+
+    # (a) triangle vertices clamped to the box: 3 pairs
+    clamped = jnp.clip(tv, -he[..., None, :], he[..., None, :])
+    pa_box, pa_tri = clamped, tv
+
+    # (b) box corners projected onto the triangle: 8 pairs
+    corners = he[..., None, :] * _CORNER_SIGNS                   # (...,8,3)
+    proj = _closest_point_triangle(corners, v0[..., None, :],
+                                   (v1 - v0)[..., None, :],
+                                   (v2 - v0)[..., None, :])
+    pb_box, pb_tri = corners, proj
+
+    # (c) box edges x triangle edges: 36 pairs
+    be0 = corners[..., _EDGES[:, 0], :]                          # (...,12,3)
+    be1 = corners[..., _EDGES[:, 1], :]
+    te0 = tv                                                     # (...,3,3)
+    te1 = jnp.roll(tv, -1, axis=-2)
+    c1, c2 = _seg_seg_closest(be0[..., :, None, :], be1[..., :, None, :],
+                              te0[..., None, :, :], te1[..., None, :, :])
+    pc_box = c1.reshape(c1.shape[:-3] + (36, 3))
+    pc_tri = c2.reshape(c2.shape[:-3] + (36, 3))
+
+    p_box = jnp.concatenate([pa_box, pb_box, pc_box], axis=-2)   # (...,47,3)
+    p_tri = jnp.concatenate([pa_tri, pb_tri, pc_tri], axis=-2)
+    d2_all = jnp.sum((p_box - p_tri) ** 2, axis=-1)              # (...,47)
+    k = jnp.argmin(d2_all, axis=-1)
+    best_box = jnp.take_along_axis(p_box, k[..., None, None], -2)[..., 0, :]
+    best_tri = jnp.take_along_axis(p_tri, k[..., None, None], -2)[..., 0, :]
+    dist = jnp.sqrt(jnp.take_along_axis(d2_all, k[..., None], -1))[..., 0]
+    return best_box, best_tri, dist
+
+
+def sat_box_triangle(he, v0, v1, v2):
+    """13-axis SAT between an origin-centered AABB and a triangle (box local
+    frame).  Returns (overlap (...,) bool, mtv_axis (...,3) unit — direction
+    to push the BOX to separate, pen (...,) >= 0 penetration depth along it;
+    pen/axis only meaningful when overlapping)."""
+    tv = jnp.stack([v0, v1, v2], axis=-2)                        # (...,3,3)
+    e = jnp.roll(tv, -1, axis=-2) - tv                           # tri edges
+    n_tri = jnp.cross(v1 - v0, v2 - v0)
+
+    axes_box = jnp.broadcast_to(jnp.eye(3), v0.shape[:-1] + (3, 3))
+    # cross(box axis i, tri edge j): box axes are unit basis vectors
+    crosses = jnp.cross(axes_box[..., :, None, :], e[..., None, :, :])
+    crosses = crosses.reshape(v0.shape[:-1] + (9, 3))
+    axes = jnp.concatenate([axes_box, n_tri[..., None, :], crosses],
+                           axis=-2)                               # (...,13,3)
+    alen = jnp.linalg.norm(axes, axis=-1, keepdims=True)
+    ok = alen[..., 0] > 1e-8
+    axes = axes / jnp.maximum(alen, 1e-8)
+
+    he_b = jnp.broadcast_to(he, v0.shape)
+    r = jnp.sum(jnp.abs(axes) * he_b[..., None, :], axis=-1)     # box radius
+    t = jnp.einsum('...vc,...ac->...av', tv, axes)               # (...,13,3)
+    tmin = jnp.min(t, axis=-1)
+    tmax = jnp.max(t, axis=-1)
+    overlap_a = jnp.minimum(r, tmax) - jnp.maximum(-r, tmin)     # (...,13)
+    overlap_a = jnp.where(ok, overlap_a, jnp.inf)
+    overlap = jnp.all(overlap_a >= 0, axis=-1)
+
+    # penetration along each axis: amount of interval overlap when pushing
+    # the smaller escape direction; choose argmin
+    # escape distance along +axis: tmax - (-r) pushing box +; along -axis:
+    # r - tmin.  min of the two is the per-axis penetration.
+    pen_pos = tmax + r       # push box along +axis by this to separate? no:
+    # box interval [-r, r], tri [tmin, tmax].  Moving box by +d along axis
+    # shifts its interval to [-r+d, r+d]; separation when -r+d >= tmax,
+    # i.e. d = tmax + r.  Along -axis: d = r - tmin... moving -d: r - d <=
+    # tmin -> d = r - tmin.
+    pen_neg = r - tmin
+    pen_axis = jnp.minimum(pen_pos, pen_neg)
+    pen_axis = jnp.where(ok, pen_axis, jnp.inf)
+    k = jnp.argmin(pen_axis, axis=-1)
+    pen = jnp.take_along_axis(pen_axis, k[..., None], -1)[..., 0]
+    axis = jnp.take_along_axis(axes, k[..., None, None], -2)[..., 0, :]
+    sign = jnp.where(
+        jnp.take_along_axis(pen_pos, k[..., None], -1)[..., 0]
+        <= jnp.take_along_axis(pen_neg, k[..., None], -1)[..., 0], 1.0, -1.0)
+    return overlap, axis * sign[..., None], pen
+
+
+def box_triangle_contact(pos, rot, he_full, margin_box, margin_tri,
+                         v0, v1, v2):
+    """One Bullet-style contact between an oriented box and a triangle.
+
+    ``pos``/``rot``: box center and rotation (columns = local axes in world);
+    ``he_full``: half extents INCLUDING the box collision margin (Bullet's
+    btBoxShape convention); the GJK core is ``he_full - margin_box``.
+    Triangle (v0,v1,v2) in world frame; its margin is added virtually.
+
+    Returns (normal (...,3) from triangle toward box, point (...,3) contact
+    point on the triangle surface (Bullet's positionWorldOnB), dist (...,)
+    full-shape contact distance — negative = penetrating).  Callers gate on
+    ``dist < breaking_threshold``.
+    """
+    he_core = jnp.asarray(he_full, jnp.float32) - margin_box
+    # to box local frame
+    lv0 = m.inv_rotate(rot, v0 - pos)
+    lv1 = m.inv_rotate(rot, v1 - pos)
+    lv2 = m.inv_rotate(rot, v2 - pos)
+
+    p_box, p_tri, dist_core = closest_pair_box_triangle(he_core, lv0, lv1,
+                                                        lv2)
+    overlap, mtv, pen = sat_box_triangle(he_core, lv0, lv1, lv2)
+
+    # separated: normal from triangle witness to box witness
+    delta = p_box - p_tri
+    n_sep = delta / jnp.maximum(dist_core, 1e-9)[..., None]
+    # overlapping: MTV pushes the box out; contact point = deepest box
+    # support along -mtv, clamped to the triangle
+    sup = jnp.where(mtv < 0, he_core, -he_core)
+    sup_tri = _closest_point_triangle(sup, lv0, lv1 - lv0, lv2 - lv0)
+
+    n_local = jnp.where(overlap[..., None], mtv, n_sep)
+    pt_local = jnp.where(overlap[..., None], sup_tri, p_tri)
+    dist = jnp.where(overlap, -pen, dist_core) - (margin_box + margin_tri)
+
+    n_world = m.rotate(rot, n_local)
+    pt_world = pos + m.rotate(rot, pt_local)
+    return n_world, pt_world, dist

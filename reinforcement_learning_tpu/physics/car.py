@@ -97,7 +97,7 @@ class WheelRaycast:
 
 def wheel_raycasts(cars: CarsState, cfg: CarConfig, mut: MutatorConfig,
                    dt: float, inv_inertia_ws,
-                   game_mode: str = "soccar") -> WheelRaycast:
+                   game_mode: str = "soccar", grid=None) -> WheelRaycast:
     offsets = jnp.asarray(cfg.wheel_offsets())      # (4, 3)
     radii = jnp.asarray(cfg.wheel_radii())          # (4,)
     rest_len = jnp.asarray(cfg.sus_rest_lengths())  # (4,)
@@ -114,7 +114,17 @@ def wheel_raycasts(cars: CarsState, cfg: CarConfig, mut: MutatorConfig,
     ray_len = rest_len + travel + radii - sus_sub_uu
     hit, dist, normal = geom.raycast_down_dir(
         hard_point, jnp.broadcast_to(wheel_dir, hard_point.shape),
-        ray_len[None, :], game_mode)
+        ray_len[None, :], game_mode, true_planes_only=grid is not None)
+    if grid is not None:
+        # the reference raycasts against the whole static world (meshes +
+        # planes, btVehicleRL.cpp:118-212): closest hit wins
+        mhit, mdist, mnormal = grid.raycast(
+            hard_point, jnp.broadcast_to(wheel_dir, hard_point.shape),
+            jnp.broadcast_to(ray_len[None, :], hit.shape))
+        closer = mhit & (mdist < dist)
+        hit = hit | mhit
+        dist = jnp.where(closer, mdist, dist)
+        normal = jnp.where(closer[..., None], mnormal, normal)
 
     contact_point = hard_point + wheel_dir * dist[..., None]
     # wheelTraceLen = (hardPoint - contactPoint) . up  (btVehicleRL.cpp:154)

@@ -22,6 +22,7 @@ denominators involve the inertia tensor; inputs/outputs are uu.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -39,6 +40,137 @@ def _restitution_rhs(rel_vel, combined_restitution):
     rest = combined_restitution * -rel_vel
     rest = jnp.where(jnp.abs(rel_vel) < 0.2, 0.0, rest)
     return jnp.maximum(rest, 0.0)
+
+
+def _plane_space_dir(n):
+    """bullet btPlaneSpace1 first tangent: the fallback friction direction
+    when the tangential relative velocity is ~zero."""
+    nz_big = jnp.abs(n[..., 2]) > 0.70710678
+    # (0, -n.z, n.y) branch normalized
+    a = n[..., 1] ** 2 + n[..., 2] ** 2
+    k1 = 1.0 / jnp.sqrt(jnp.maximum(a, 1e-12))
+    t1 = jnp.stack([jnp.zeros_like(k1), -n[..., 2] * k1, n[..., 1] * k1],
+                   axis=-1)
+    # (-n.y, n.x, 0) branch normalized
+    b = n[..., 0] ** 2 + n[..., 1] ** 2
+    k2 = 1.0 / jnp.sqrt(jnp.maximum(b, 1e-12))
+    t2 = jnp.stack([-n[..., 1] * k2, n[..., 0] * k2, jnp.zeros_like(k2)],
+                   axis=-1)
+    return jnp.where(nz_big[..., None], t1, t2)
+
+
+def pgs_rows_vs_static(vel_bt, ang_vel, r_bt, n, active, inv_mass, inv_iw,
+                       restitution_coeff, friction_coeff, dist_bt, dt,
+                       vel_pre_bt=None, ang_vel_pre=None, iterations=10):
+    """Bullet-order PGS over R contact rows of one dynamic body against the
+    static world (btSequentialImpulseConstraintSolver with the fork's
+    settings: 10 iterations, split impulse always on, erp2=0.8, no creep
+    allowance, restitution threshold 0.2, one velocity-dependent friction
+    direction per row with btPlaneSpace1 fallback).
+
+    Per iteration all normal rows are solved in row order, then all friction
+    rows in row order (SOLVER_INTERLEAVE_CONTACT_AND_FRICTION off), exactly
+    like solveSingleIteration.  A second PGS with the same jacobians solves
+    the split-impulse positional rows (resolveSplitPenetrationImpulse);
+    the angular pseudo-velocity is scaled by splitImpulseTurnErp=0.1 at
+    writeback.
+
+    Shapes: vel_bt/ang_vel (..., 3); r_bt/n (..., R, 3); active/dist_bt
+    (..., R); inv_iw (..., 3, 3).  dist_bt: full-shape contact distance
+    (negative = penetration) in BT units.
+
+    Returns (dv_bt (...,3), dw (...,3), push_bt (...,3) position delta,
+    turn (...,3) extra rotation vector, j_n (...,R) accumulated normal
+    impulses).
+    """
+    R = n.shape[-2]
+    vel_at = vel_bt[..., None, :] + jnp.cross(ang_vel[..., None, :], r_bt)
+
+    torque_axis = jnp.cross(r_bt, n)
+    ang_comp = jnp.einsum('...ij,...rj->...ri', inv_iw, torque_axis)
+    denom = inv_mass + m.dot(n, jnp.cross(ang_comp, r_bt))
+    jac_inv = 1.0 / jnp.maximum(denom, 1e-12)
+
+    # restitution from pre-force velocities (see module docstring)
+    if vel_pre_bt is None:
+        rel_rest = m.dot(n, vel_at)
+    else:
+        wpre = ang_vel if ang_vel_pre is None else ang_vel_pre
+        rel_rest = m.dot(n, vel_pre_bt[..., None, :]
+                         + jnp.cross(wpre[..., None, :], r_bt))
+    rest = _restitution_rhs(rel_rest, restitution_coeff)
+
+    # friction direction at setup: tangential relative velocity (with
+    # forces); btPlaneSpace1 fallback when ~zero (convertContactInner)
+    tang = vel_at - n * m.dot(n, vel_at, keepdims=True)
+    t_len = m.norm(tang, keepdims=True)
+    t_dir = jnp.where(t_len > 1.49e-8, tang / jnp.maximum(t_len, 1e-12),
+                      _plane_space_dir(n))
+    t_axis = jnp.cross(r_bt, t_dir)
+    t_ang = jnp.einsum('...ij,...rj->...ri', inv_iw, t_axis)
+    t_denom = inv_mass + m.dot(t_dir, jnp.cross(t_ang, r_bt))
+    t_jac_inv = 1.0 / jnp.maximum(t_denom, 1e-12)
+
+    # positional rhs: -penetration * erp2 / dt when penetrating
+    push_target = jnp.maximum(-dist_bt, 0.0) * (C.SOLVER_ERP2 / dt)
+
+    zero3 = jnp.zeros_like(vel_bt)
+    zeroR = jnp.zeros(n.shape[:-1])
+    act = active.astype(n.dtype)
+
+    def _row(i, arr):
+        return arr[..., i, :]
+
+    # --- velocity PGS ---
+    dv, dw = zero3, zero3
+    j_n = zeroR
+    j_t = zeroR
+    for _ in range(iterations):
+        for i in range(R):
+            ni, ri = _row(i, n), _row(i, r_bt)
+            rel = m.dot(ni, (vel_bt + dv) + jnp.cross(ang_vel + dw, ri))
+            dj = (rest[..., i] - rel) * jac_inv[..., i]
+            new_acc = jnp.maximum(j_n[..., i] + dj, 0.0)
+            dj = (new_acc - j_n[..., i]) * act[..., i]
+            imp = ni * dj[..., None]
+            dv = dv + imp * inv_mass
+            dw = dw + jnp.einsum('...ij,...j->...i', inv_iw,
+                                 jnp.cross(ri, imp))
+            j_n = j_n.at[..., i].add(dj)
+        for i in range(R):
+            ti, ri = _row(i, t_dir), _row(i, r_bt)
+            rel = m.dot(ti, (vel_bt + dv) + jnp.cross(ang_vel + dw, ri))
+            dj = -rel * t_jac_inv[..., i]
+            lim = friction_coeff * j_n[..., i]
+            new_acc = jnp.clip(j_t[..., i] + dj, -lim, lim)
+            dj = (new_acc - j_t[..., i]) * act[..., i]
+            # bullet skips friction rows whose normal impulse is 0
+            dj = jnp.where(j_n[..., i] > 0, dj, 0.0)
+            imp = ti * dj[..., None]
+            dv = dv + imp * inv_mass
+            dw = dw + jnp.einsum('...ij,...j->...i', inv_iw,
+                                 jnp.cross(ri, imp))
+            j_t = j_t.at[..., i].add(dj)
+
+    # --- split-impulse positional PGS (same jacobians, push target) ---
+    pv, pw = zero3, zero3
+    j_p = zeroR
+    for _ in range(iterations):
+        for i in range(R):
+            ni, ri = _row(i, n), _row(i, r_bt)
+            rel = m.dot(ni, pv + jnp.cross(pw, ri))
+            dj = (push_target[..., i] - rel) * jac_inv[..., i]
+            new_acc = jnp.maximum(j_p[..., i] + dj, 0.0)
+            dj = (new_acc - j_p[..., i]) * act[..., i]
+            imp = ni * dj[..., None]
+            pv = pv + imp * inv_mass
+            pw = pw + jnp.einsum('...ij,...j->...i', inv_iw,
+                                 jnp.cross(ri, imp))
+            j_p = j_p.at[..., i].add(dj)
+
+    push = pv * dt
+    turn = pw * (C.SPLIT_IMPULSE_TURN_ERP * dt)
+    return dv, dw, push, turn, j_n
 
 
 def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
@@ -119,7 +251,7 @@ def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
 
 def resolve_ball_world(ball: BallState, mut: MutatorConfig,
                        puck_axis=None, game_mode: str = "soccar",
-                       vel_pre_uu=None):
+                       vel_pre_uu=None, grid=None):
     """Ball vs arena: the ROCKETSIM merged special contact.
 
     A contact is live while the surface gap is inside the pair's contact
@@ -142,6 +274,11 @@ def resolve_ball_world(ball: BallState, mut: MutatorConfig,
     pn, _ = geom.get_planes(game_mode)
     dist_p = geom.signed_distances(ball.pos, game_mode)
     valid = geom.plane_validity(ball.pos, game_mode)
+    if grid is not None and puck_axis is None:
+        # Mesh world: only the 4 btStaticPlaneShapes remain as planes
+        # (Arena.cpp:1060-1100); back walls / corners / goals come from
+        # the triangle mesh below.
+        valid = valid & geom.get_true_plane_mask(game_mode)
     if puck_axis is None:
         support = jnp.full(dist_p.shape, mut.ball_radius)
         break_gap = C.CONTACT_BREAK_FRAC * (mut.ball_radius
@@ -158,6 +295,33 @@ def resolve_ball_world(ball: BallState, mut: MutatorConfig,
     normals = jnp.broadcast_to(pn, pn.shape)
     gap = dist_p - support
     active = valid & (gap < break_gap)
+
+    if grid is not None and puck_axis is None:
+        # mesh manifold points: one SphereTriangleDetector contact per
+        # candidate triangle (closest point; face OR edge/vertex normal),
+        # merged into the same special average.  |rel_pos| on the ball is
+        # exactly the radius for every sphere contact (pointOnA = center
+        # - n*radius), so the support column extends unchanged.
+        from reinforcement_learning_tpu.physics.mesh import \
+            _closest_point_triangle
+        idx = grid.candidates(ball.pos)
+        a, ab, ac, tri_n = grid._gather(idx)
+        cp = _closest_point_triangle(ball.pos[None, :], a, ab, ac)
+        delta = ball.pos[None, :] - cp
+        dist_c = m.norm(delta)
+        side = jnp.sign(jnp.sum(delta * tri_n, axis=-1, keepdims=True))
+        side = jnp.where(side == 0, 1.0, side)
+        n_mesh = jnp.where(dist_c[:, None] > 1e-6,
+                           delta / jnp.maximum(dist_c[:, None], 1e-6),
+                           tri_n * side)
+        gap_mesh = dist_c - mut.ball_radius
+        act_mesh = (idx >= 0) & (gap_mesh < break_gap)
+        normals = jnp.concatenate([normals, n_mesh], axis=0)
+        gap = jnp.concatenate([gap, gap_mesh], axis=0)
+        active = jnp.concatenate([active, act_mesh], axis=0)
+        support = jnp.concatenate(
+            [support, jnp.full(gap_mesh.shape, mut.ball_radius)], axis=0)
+
     num = jnp.sum(active)
     touching = num > 0
 
@@ -316,6 +480,98 @@ def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
     contact_normal = jnp.where(has_contact[:, None], m.normalize(nsum),
                                jnp.zeros_like(nsum))
     return dvel, dang, push, has_contact, contact_normal
+
+
+MAX_MESH_CONTACTS = 4  # btPersistentManifold MANIFOLD_CACHE_SIZE
+
+
+def resolve_car_world_mesh(cars: CarsState, half_extents, hitbox_offset,
+                           mut: MutatorConfig, inv_iw, grid, dt,
+                           game_mode: str = "soccar", vel_pre_uu=None,
+                           ang_vel_pre=None):
+    """Car hitbox vs the triangle-mesh arena + the 4 btStaticPlaneShapes.
+
+    Mirrors the reference world composition (Arena.cpp:1020-1100: every
+    soccar arena = 16 BVH mesh bodies PLUS floor/ceiling/side-wall planes)
+    and Bullet's narrowphase: one GJK contact per overlapping triangle
+    (box_tri.box_triangle_contact), persistent-manifold cap of 4 points,
+    single support-vertex contact per static plane.  All rows are solved
+    jointly by :func:`pgs_rows_vs_static` in manifold order (mesh manifold
+    first, then the planes — dispatcher pair order).
+
+    Returns (dvel_uu (C,3), dang (C,3), push_uu (C,3), turn (C,3),
+    has_contact (C,), contact_normal (C,3)).
+    """
+    from reinforcement_learning_tpu.physics import box_tri
+
+    he = jnp.asarray(half_extents, jnp.float32)
+    box_center = cars.pos + m.rotate(cars.rot, hitbox_offset)
+
+    # btBoxShape's "safe margin": min(0.04bt, 0.1 * smallest half extent)
+    # (btConvexInternalShape::setSafeMargin) — 1.808uu for the octane
+    # hitbox, NOT the plain 2uu convex margin.  GJK-probe-calibrated
+    # (tools/oracle/gjk_probe.cpp): bullet's reported contact distance is
+    # the core-to-triangle distance minus TWICE this margin; the triangle's
+    # own margin shifts only the witness point, not the distance.
+    safe_margin = min(C.MESH_COLLISION_MARGIN,
+                      0.1 * float(np.min(np.asarray(half_extents))))
+
+    # --- mesh contacts: one per candidate triangle, capped at 4
+    idx = grid.candidates(box_center)                       # (C, K)
+    a, ab, ac, _ = grid._gather(idx)
+    n_k, pt_k, dist_k = box_tri.box_triangle_contact(
+        box_center[:, None, :], cars.rot[:, None], he,
+        safe_margin, safe_margin,
+        a, a + ab, a + ac)                                  # (C,K,·)
+    brk = C.CONTACT_BREAK_FRAC * (
+        float(np.linalg.norm(np.asarray(half_extents)
+                             + C.MESH_COLLISION_MARGIN))
+        + float(np.linalg.norm(np.asarray(hitbox_offset, np.float32))))
+    act_k = (idx >= 0) & (dist_k < brk)
+    # keep the 4 deepest (approximates bullet's replacement heuristic)
+    score = jnp.where(act_k, -dist_k, -jnp.inf)
+    _, top = jax.lax.top_k(score, MAX_MESH_CONTACTS)        # (C, 4)
+    mesh_n = jnp.take_along_axis(n_k, top[..., None], axis=1)
+    mesh_pt = jnp.take_along_axis(pt_k, top[..., None], axis=1)
+    mesh_dist = jnp.take_along_axis(dist_k, top, axis=1)
+    mesh_act = jnp.take_along_axis(act_k, top, axis=1)
+
+    # --- true-plane contacts: single support vertex per plane
+    pn, pd = geom.get_planes(game_mode)
+    true_plane = geom.get_true_plane_mask(game_mode)
+    keep = np.flatnonzero(np.asarray(true_plane))
+    pn = pn[keep]
+    pd = pd[keep]
+    ldir = -jnp.einsum('cji,pj->cpi', cars.rot, pn)
+    sup_local = jnp.where(ldir >= 0.0, he, -he)
+    sup = box_center[:, None, :] + jnp.einsum('cij,cpj->cpi', cars.rot,
+                                              sup_local)
+    sup_d = m.dot(sup, jnp.broadcast_to(pn, sup.shape)) + pd  # (C, P)
+    plane_act = sup_d < brk
+    plane_n = jnp.broadcast_to(pn, sup.shape)
+
+    # --- assemble rows: mesh manifold first, then planes
+    n_rows = jnp.concatenate([mesh_n, plane_n], axis=1)
+    pt_rows = jnp.concatenate([mesh_pt, sup], axis=1)
+    dist_rows = jnp.concatenate([mesh_dist, sup_d], axis=1)
+    act_rows = jnp.concatenate([mesh_act, plane_act], axis=1)
+
+    r_bt = (pt_rows - cars.pos[:, None, :]) * C.UU_TO_BT
+    dist_bt = dist_rows * C.UU_TO_BT
+    inv_mass = 1.0 / mut.car_mass
+    vel_pre_bt = None if vel_pre_uu is None else vel_pre_uu * C.UU_TO_BT
+
+    dv_bt, dw, push_bt, turn, j_n = pgs_rows_vs_static(
+        cars.vel * C.UU_TO_BT, cars.ang_vel, r_bt, n_rows, act_rows,
+        inv_mass, inv_iw, mut.car_world_restitution, mut.car_world_friction,
+        dist_bt, dt, vel_pre_bt=vel_pre_bt, ang_vel_pre=ang_vel_pre)
+
+    has_contact = jnp.any(act_rows, axis=1)
+    nsum = jnp.sum(jnp.where(act_rows[..., None], n_rows, 0.0), axis=1)
+    contact_normal = jnp.where(has_contact[:, None], m.normalize(nsum),
+                               jnp.zeros_like(nsum))
+    return (dv_bt * C.BT_TO_UU, dw, push_bt * C.BT_TO_UU, turn,
+            has_contact, contact_normal)
 
 
 def closest_point_on_box(point, box_center, box_rot, half_extents):

@@ -255,17 +255,42 @@ def build_soccar_mesh(n_fillet: int = 8, n_len: int = 8,
                         continue
                 mb.quad(p00, p10, p11, p01)
 
-    # --- floor and ceiling: octagon polygons (fan from center)
+    # --- floor and ceiling: regular grid clipped to the octagon.  (A fan
+    # from the center would put ~128 triangles in one lookup-grid cell and
+    # pad every cell's candidate list to that width; a clipped grid keeps
+    # triangles local, like the real game's floor assets.)
     for z, ring_idx in ((0.0, 0), (H, len(zs) - 1)):
-        ring = rings[ring_idx]
-        center = np.array([0.0, 0.0, z])
-        for i in range(8):
-            a, b = ring[i], ring[(i + 1) % 8]
-            # subdivide the fan edge so floor tris stay reasonably sized
-            for j in range(n_len):
-                u0, u1 = j / n_len, (j + 1) / n_len
-                mb.tri(center, np.append(a + (b - a) * u0, z),
-                       np.append(a + (b - a) * u1, z))
+        inset = _fillet_inset(np.array([z]), rf, rc, H)[0]
+        clip = [(planes[i, :2], planes[i, 2] - inset) for i in range(8)]
+        cell = 1024.0
+        nx = int(np.ceil(C.ARENA_EXTENT_X / cell))
+        ny = int(np.ceil(C.ARENA_EXTENT_Y / cell))
+        for i in range(-nx, nx):
+            for j in range(-ny, ny):
+                poly = [np.array([i * cell, j * cell]),
+                        np.array([(i + 1) * cell, j * cell]),
+                        np.array([(i + 1) * cell, (j + 1) * cell]),
+                        np.array([i * cell, (j + 1) * cell])]
+                # Sutherland-Hodgman clip against the 8 octagon half-planes
+                for n2, d2 in clip:
+                    if not poly:
+                        break
+                    out = []
+                    for k in range(len(poly)):
+                        p, q = poly[k], poly[(k + 1) % len(poly)]
+                        pin = p @ n2 <= d2 + 1e-9
+                        qin = q @ n2 <= d2 + 1e-9
+                        if pin:
+                            out.append(p)
+                        if pin != qin:
+                            t = (d2 - p @ n2) / ((q - p) @ n2)
+                            out.append(p + (q - p) * t)
+                    poly = out
+                if len(poly) < 3:
+                    continue
+                for k in range(1, len(poly) - 1):
+                    mb.tri(np.append(poly[0], z), np.append(poly[k], z),
+                           np.append(poly[k + 1], z))
 
     # --- goal boxes (sharp edges; the net/posts of the real asset are
     # curved but the reference's scoring threshold is behind the opening)

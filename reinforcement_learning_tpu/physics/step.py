@@ -37,6 +37,7 @@ from reinforcement_learning_tpu import maths as m
 from reinforcement_learning_tpu.physics import arena_geom as geom
 from reinforcement_learning_tpu.physics import car as carmod
 from reinforcement_learning_tpu.physics import contacts
+from reinforcement_learning_tpu.physics import world as worldmod
 from reinforcement_learning_tpu.physics.car import WheelControlsState
 from reinforcement_learning_tpu.physics.state import (
     BOOST, HANDBRAKE, JUMP, PITCH, ROLL, STEER, THROTTLE, YAW, ArenaState,
@@ -71,6 +72,10 @@ class ArenaParams:
     car_config: CarConfig = CarConfig()
     tick_rate: float = 120.0
     game_mode: str = "soccar"
+    # Collide against the triangle-mesh arena (reference world composition:
+    # 16 BVH meshes + 4 static planes, Arena.cpp:1020-1100).  False falls
+    # back to the analytic-plane arena (faster; sharp corners/ramps).
+    use_mesh: bool = True
 
     def __post_init__(self):
         if self.mutators is None:
@@ -168,6 +173,8 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     cfg = params.car_config
     dt = params.dt
     num_cars = params.num_cars
+    grid = (worldmod.get_grid(params.game_mode) if params.use_mesh
+            else None)
 
     arena = phys.arena
     cars = arena.cars
@@ -177,7 +184,7 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     # numpy (static) so contact-margin scalars derived from it stay python
     # floats under tracing
     half_extents = np.asarray(cfg.hitbox_size, np.float32) / 2.0
-    hitbox_offset = jnp.asarray(cfg.hitbox_offset, jnp.float32)
+    hitbox_offset = np.asarray(cfg.hitbox_offset, np.float32)
     inv_i_local = carmod.box_inv_inertia_local(mut.car_mass, cfg.hitbox_size)
 
     controls = clamp_controls(cars.controls)
@@ -204,7 +211,7 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
 
     # --- updateVehicleFirst: raycasts + stale friction impulses
     rc = carmod.wheel_raycasts(cars, cfg, mut, dt, inv_iw,
-                               params.game_mode)
+                               params.game_mode, grid=grid)
     wheel_impulses = carmod.calc_friction_impulses(cars, rc, wc, mut, dt,
                                                    inv_iw)
 
@@ -308,9 +315,19 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
                                       ball.vel))
 
     # --- contacts (rotations unchanged so inv_iw is still valid)
-    cw_dv, cw_dw, cw_push, cw_contact, cw_normal = contacts.resolve_car_world(
-        cars, half_extents, hitbox_offset, mut, inv_iw, params.game_mode,
-        vel_pre_uu=cars_vel_pre, ang_vel_pre=cars_ang_vel_pre)
+    if grid is not None:
+        cw_dv, cw_dw, cw_push, cw_turn, cw_contact, cw_normal = \
+            contacts.resolve_car_world_mesh(
+                cars, half_extents, hitbox_offset, mut, inv_iw, grid, dt,
+                params.game_mode, vel_pre_uu=cars_vel_pre,
+                ang_vel_pre=cars_ang_vel_pre)
+    else:
+        cw_dv, cw_dw, cw_push, cw_contact, cw_normal = \
+            contacts.resolve_car_world(
+                cars, half_extents, hitbox_offset, mut, inv_iw,
+                params.game_mode, vel_pre_uu=cars_vel_pre,
+                ang_vel_pre=cars_ang_vel_pre)
+        cw_turn = None
     cars = cars.replace(
         vel=cars.vel + cw_dv,
         ang_vel=cars.ang_vel + cw_dw,
@@ -337,7 +354,8 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     # ball-world (merged special contact)
     puck_axis = ball.rot[:, 2] if params.game_mode == "snowday" else None
     bw_dv, bw_dw, bw_push, bw_touch, bw_normal = contacts.resolve_ball_world(
-        ball, mut, puck_axis, params.game_mode, vel_pre_uu=ball_vel_pre)
+        ball, mut, puck_axis, params.game_mode, vel_pre_uu=ball_vel_pre,
+        grid=grid)
     ball = ball.replace(vel=ball.vel + bw_dv, ang_vel=ball.ang_vel + bw_dw)
 
     # Ball::_OnWorldCollision (Ball.cpp:218-252)
@@ -374,9 +392,14 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
         got_demoed = jnp.zeros((num_cars,), bool)
 
     # --- integrate transforms
+    new_rot = m.integrate_rotation(cars.rot, cars.ang_vel, dt)
+    if cw_turn is not None:
+        # split-impulse turn pseudo-velocity writeback (scaled by
+        # splitImpulseTurnErp inside the solver)
+        new_rot = m.integrate_rotation(new_rot, cw_turn, 1.0)
     cars = cars.replace(
         pos=cars.pos + cars.vel * dt + cw_push + cc_push,
-        rot=m.integrate_rotation(cars.rot, cars.ang_vel, dt))
+        rot=new_rot)
     ball_awake = (m.norm(ball.vel) > 0) | (m.norm(ball.ang_vel) > 0)
     ball = ball.replace(
         pos=ball.pos + jnp.where(ball_awake, ball.vel * dt + bw_push, 0.0),

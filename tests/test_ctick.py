@@ -19,7 +19,7 @@ TEAMS = jnp.array([0, 0, 1, 1])
 
 
 def _params():
-    return stepmod.ArenaParams(num_cars=CARS)
+    return stepmod.ArenaParams(num_cars=CARS, use_mesh=False)
 
 
 def _random_phys(key, params, airborne=False):

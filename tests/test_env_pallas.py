@@ -11,7 +11,11 @@ from reinforcement_learning_tpu.envs.env import EnvConfig, RocketLeagueEnv
 
 
 def test_env_pallas_backend_matches_xla():
-    cfg_x = EnvConfig(num_envs=4, team_size=1, physics_backend="xla")
+    from reinforcement_learning_tpu.physics import step as stepmod
+    # compare against the analytic-plane arena (what the megakernel models)
+    arena = stepmod.ArenaParams(num_cars=2, use_mesh=False)
+    cfg_x = EnvConfig(num_envs=4, team_size=1, physics_backend="xla",
+                      arena=arena)
     cfg_p = dataclasses.replace(cfg_x, physics_backend="pallas")
     env_x = RocketLeagueEnv(cfg_x)
     env_p = RocketLeagueEnv(cfg_p)

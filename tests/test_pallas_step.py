@@ -40,7 +40,7 @@ def _random_phys(key, params):
 
 
 def test_pallas_step_matches_ctick():
-    params = stepmod.ArenaParams(num_cars=CARS)
+    params = stepmod.ArenaParams(num_cars=CARS, use_mesh=False)
     key = jax.random.PRNGKey(3)
     phys = _random_phys(key, params)
     ks = jax.random.split(key, 2)

@@ -109,12 +109,15 @@ def default_cmf_dir() -> str:
     """Writes the procedural soccar mesh as a .cmf the oracle can load
     (the reference refuses to create a soccar arena with no meshes);
     cached under tools/oracle/build/."""
+    from reinforcement_learning_tpu.physics import mesh as meshmod
     d = os.path.join(os.path.dirname(ORACLE_BIN), "cmf")
     path = os.path.join(d, "soccar.cmf")
-    if not os.path.exists(path):
-        from reinforcement_learning_tpu.physics import mesh as meshmod
+    verts, tris = meshmod.build_soccar_mesh()
+    # regenerate when the procedural mesh changes (hash mismatch)
+    if (not os.path.exists(path)
+            or meshmod.cmf_hash(*meshmod.read_cmf(path))
+            != meshmod.cmf_hash(verts, tris)):
         os.makedirs(d, exist_ok=True)
-        verts, tris = meshmod.build_soccar_mesh()
         meshmod.write_cmf(path, verts, tris)
     return d
 
@@ -174,7 +177,10 @@ def run_jax(scenario: Scenario):
     from reinforcement_learning_tpu.physics import step as stepmod
 
     sc = scenario
-    params = stepmod.ArenaParams(num_cars=sc.n_cars)
+    # RLT_NO_MESH=1: collide against the analytic planes instead of the
+    # mesh (isolates mesh-induced divergence in debugging)
+    params = stepmod.ArenaParams(
+        num_cars=sc.n_cars, use_mesh=not os.environ.get("RLT_NO_MESH"))
     phys = stepmod.make_physics_state(params)
     arena = phys.arena
 
