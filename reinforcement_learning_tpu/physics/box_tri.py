@@ -170,21 +170,28 @@ def sat_box_triangle(he, v0, v1, v2):
     return overlap, axis * sign[..., None], pen
 
 
-def box_triangle_contact(pos, rot, he_full, margin_box, margin_tri,
+def box_triangle_contact(pos, rot, he_full, core_margin, dist_margin,
                          v0, v1, v2):
     """One Bullet-style contact between an oriented box and a triangle.
 
     ``pos``/``rot``: box center and rotation (columns = local axes in world);
-    ``he_full``: half extents INCLUDING the box collision margin (Bullet's
-    btBoxShape convention); the GJK core is ``he_full - margin_box``.
-    Triangle (v0,v1,v2) in world frame; its margin is added virtually.
+    ``he_full``: half extents as constructed (Bullet's btBoxShape
+    convention); the GJK core is ``he_full - core_margin``.  Triangle
+    (v0,v1,v2) in world frame.
+
+    GJK-probe-calibrated against the reference pipeline
+    (tools/oracle/gjk_probe.cpp): the box core is shrunk by the plain
+    convex margin (``core_margin`` = 0.04bt = 2uu) while the reported
+    distance subtracts only the box's SAFE margin (``dist_margin`` =
+    min(0.04, 0.1*min half extent), btConvexInternalShape::setSafeMargin);
+    the mesh triangle contributes no margin (btConcaveShape default 0).
 
     Returns (normal (...,3) from triangle toward box, point (...,3) contact
     point on the triangle surface (Bullet's positionWorldOnB), dist (...,)
-    full-shape contact distance — negative = penetrating).  Callers gate on
+    contact distance — negative = penetrating).  Callers gate on
     ``dist < breaking_threshold``.
     """
-    he_core = jnp.asarray(he_full, jnp.float32) - margin_box
+    he_core = jnp.asarray(he_full, jnp.float32) - core_margin
     # to box local frame
     lv0 = m.inv_rotate(rot, v0 - pos)
     lv1 = m.inv_rotate(rot, v1 - pos)
@@ -204,7 +211,7 @@ def box_triangle_contact(pos, rot, he_full, margin_box, margin_tri,
 
     n_local = jnp.where(overlap[..., None], mtv, n_sep)
     pt_local = jnp.where(overlap[..., None], sup_tri, p_tri)
-    dist = jnp.where(overlap, -pen, dist_core) - (margin_box + margin_tri)
+    dist = jnp.where(overlap, -pen, dist_core) - dist_margin
 
     n_world = m.rotate(rot, n_local)
     pt_world = pos + m.rotate(rot, pt_local)

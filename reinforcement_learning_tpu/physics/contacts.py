@@ -316,6 +316,17 @@ def resolve_ball_world(ball: BallState, mut: MutatorConfig,
                            tri_n * side)
         gap_mesh = dist_c - mut.ball_radius
         act_mesh = (idx >= 0) & (gap_mesh < break_gap)
+        # bullet 4-slot manifold retention (insertion in BVH order);
+        # localPointA on the sphere is -n * radius, set BEFORE the
+        # contact-added callback adjusts the normal
+        slot = manifold_insert(-n_mesh * mut.ball_radius, gap_mesh,
+                               act_mesh)                    # (4,)
+        # internal-edge normal adjustment (arena contact callback)
+        n_mesh, _ = grid.adjust_internal_edges(idx, n_mesh, cp, gap_mesh)
+        sel = jnp.maximum(slot, 0)
+        n_mesh = n_mesh[sel]
+        gap_mesh = gap_mesh[sel]
+        act_mesh = slot >= 0
         normals = jnp.concatenate([normals, n_mesh], axis=0)
         gap = jnp.concatenate([gap, gap_mesh], axis=0)
         active = jnp.concatenate([active, act_mesh], axis=0)
@@ -351,10 +362,14 @@ def resolve_ball_world(ball: BallState, mut: MutatorConfig,
     friction = min(mut.ball_world_friction, C.WORLD_FRICTION)
 
     vel_pre_bt = (None if vel_pre_uu is None else vel_pre_uu * C.UU_TO_BT)
+    # 10 iterations like bullet: with a multi-surface (non-unit) average
+    # normal the friction direction is NOT orthogonal to it, so the two
+    # rows couple and one pass under-resolves (a single flat contact still
+    # converges in one pass)
     dv_bt, dw, _ = _contact_impulse_vs_static(
         ball.vel * C.UU_TO_BT, ball.ang_vel, r_bt, navg,
         ball_inv_mass, inv_iw, restitution, friction,
-        vel_pre_bt=vel_pre_bt)
+        vel_pre_bt=vel_pre_bt, iterations=10)
 
     # The merged special contact carries no positional term (its distance
     # is the positive rel-pos length), but the per-point manifolds still
@@ -485,6 +500,76 @@ def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
 MAX_MESH_CONTACTS = 4  # btPersistentManifold MANIFOLD_CACHE_SIZE
 
 
+def manifold_insert(local_a, dist, active):
+    """Simulate btPersistentManifold point retention for one tick.
+
+    The fork DISABLES contact deduplication (btPersistentManifold.cpp
+    getCacheEntry returns -1: "makes ball-arena collisions far less
+    accurate to the game" otherwise), so every narrowphase contact is
+    inserted; once 4 slots are full, sortCachedPoints picks the slot to
+    replace (keep the deepest point, then maximize the area spanned by
+    m_localPointA differences — the gContactCalcArea3Points branch).
+    Candidates MUST be supplied in bullet's BVH traversal order
+    (mesh.bvh_leaf_order) since insertion order decides retention.
+
+    local_a: (..., K, 3) contact point relative to the body (any frame
+    with rigid relation to localPointA — the heuristic only uses
+    differences and cross-product magnitudes).
+    dist: (..., K) manifold point distances.  active: (..., K).
+
+    Returns slot_cand (..., 4) int32: candidate index held by each slot
+    (-1 = empty), in slot order (= bullet's constraint row order).
+    """
+    K = dist.shape[-1]
+    batch = dist.shape[:-1]
+    f32 = local_a.dtype
+    # scan over candidates: K sequential steps of tiny vector math (an
+    # unrolled loop makes the traced tick graph explode)
+    la_seq = jnp.moveaxis(local_a, -2, 0)                  # (K, ..., 3)
+    d_seq = jnp.moveaxis(dist, -1, 0)                      # (K, ...)
+    act_seq = jnp.moveaxis(active, -1, 0)
+
+    def _area(p, q):
+        c = jnp.cross(p, q)
+        return jnp.sum(c * c, axis=-1)
+
+    def step(carry, inp):
+        slot_cand, slot_la, slot_d, slot_occ = carry
+        k, la, d, act = inp
+        count = jnp.sum(slot_occ, axis=-1)                 # (...,)
+
+        # replacement slot via sortCachedPoints
+        deeper = slot_d < d[..., None]
+        has_deeper = jnp.any(deeper & slot_occ, axis=-1)
+        maxpen = jnp.where(has_deeper, jnp.argmin(
+            jnp.where(slot_occ, slot_d, jnp.inf), axis=-1), -1)
+        c0, c1, c2, c3 = (slot_la[..., i, :] for i in range(4))
+        res = jnp.stack([
+            jnp.where(maxpen != 0, _area(la - c1, c3 - c2), 0.0),
+            jnp.where(maxpen != 1, _area(la - c0, c3 - c2), 0.0),
+            jnp.where(maxpen != 2, _area(la - c0, c3 - c1), 0.0),
+            jnp.where(maxpen != 3, _area(la - c0, c2 - c1), 0.0),
+        ], axis=-1)
+        replace_slot = jnp.argmax(res, axis=-1)
+
+        slot = jnp.where(count >= 4, replace_slot,
+                         count).astype(jnp.int32)          # append at count
+        write = act[..., None] & (jnp.arange(4) == slot[..., None])
+        slot_cand = jnp.where(write, k, slot_cand)
+        slot_la = jnp.where(write[..., None], la[..., None, :], slot_la)
+        slot_d = jnp.where(write, d[..., None], slot_d)
+        slot_occ = slot_occ | write
+        return (slot_cand, slot_la, slot_d, slot_occ), None
+
+    init = (jnp.full(batch + (4,), -1, jnp.int32),
+            jnp.zeros(batch + (4, 3), f32),
+            jnp.zeros(batch + (4,), f32),
+            jnp.zeros(batch + (4,), bool))
+    (slot_cand, _, _, _), _ = jax.lax.scan(
+        step, init, (jnp.arange(K, dtype=jnp.int32), la_seq, d_seq, act_seq))
+    return slot_cand
+
+
 def resolve_car_world_mesh(cars: CarsState, half_extents, hitbox_offset,
                            mut: MutatorConfig, inv_iw, grid, dt,
                            game_mode: str = "soccar", vel_pre_uu=None,
@@ -509,10 +594,7 @@ def resolve_car_world_mesh(cars: CarsState, half_extents, hitbox_offset,
 
     # btBoxShape's "safe margin": min(0.04bt, 0.1 * smallest half extent)
     # (btConvexInternalShape::setSafeMargin) — 1.808uu for the octane
-    # hitbox, NOT the plain 2uu convex margin.  GJK-probe-calibrated
-    # (tools/oracle/gjk_probe.cpp): bullet's reported contact distance is
-    # the core-to-triangle distance minus TWICE this margin; the triangle's
-    # own margin shifts only the witness point, not the distance.
+    # hitbox.  See box_triangle_contact for the calibrated margin law.
     safe_margin = min(C.MESH_COLLISION_MARGIN,
                       0.1 * float(np.min(np.asarray(half_extents))))
 
@@ -521,20 +603,28 @@ def resolve_car_world_mesh(cars: CarsState, half_extents, hitbox_offset,
     a, ab, ac, _ = grid._gather(idx)
     n_k, pt_k, dist_k = box_tri.box_triangle_contact(
         box_center[:, None, :], cars.rot[:, None], he,
-        safe_margin, safe_margin,
+        C.MESH_COLLISION_MARGIN, safe_margin,
         a, a + ab, a + ac)                                  # (C,K,·)
     brk = C.CONTACT_BREAK_FRAC * (
         float(np.linalg.norm(np.asarray(half_extents)
                              + C.MESH_COLLISION_MARGIN))
         + float(np.linalg.norm(np.asarray(hitbox_offset, np.float32))))
     act_k = (idx >= 0) & (dist_k < brk)
-    # keep the 4 deepest (approximates bullet's replacement heuristic)
-    score = jnp.where(act_k, -dist_k, -jnp.inf)
-    _, top = jax.lax.top_k(score, MAX_MESH_CONTACTS)        # (C, 4)
-    mesh_n = jnp.take_along_axis(n_k, top[..., None], axis=1)
-    mesh_pt = jnp.take_along_axis(pt_k, top[..., None], axis=1)
-    mesh_dist = jnp.take_along_axis(dist_k, top, axis=1)
-    mesh_act = jnp.take_along_axis(act_k, top, axis=1)
+    # bullet's 4-slot manifold retention over BVH-ordered candidates;
+    # localPointA is set BEFORE the contact-added callback, so retention
+    # uses the un-adjusted normal
+    pos_a_k = pt_k + n_k * dist_k[..., None]                # on the car
+    local_a = pos_a_k - cars.pos[:, None, :]
+    slot = manifold_insert(local_a, dist_k, act_k)          # (C, 4)
+    # internal-edge normal adjustment (arena contact callback)
+    n_adj, _ = grid.adjust_internal_edges(idx, n_k, pt_k, dist_k)
+    sel = jnp.maximum(slot, 0)
+    mesh_n = jnp.take_along_axis(n_adj, sel[..., None], axis=1)
+    # constraint lever arms use positionWorldOnA (unchanged by the
+    # callback)
+    mesh_pt = jnp.take_along_axis(pos_a_k, sel[..., None], axis=1)
+    mesh_dist = jnp.take_along_axis(dist_k, sel, axis=1)
+    mesh_act = slot >= 0
 
     # --- true-plane contacts: single support vertex per plane
     pn, pd = geom.get_planes(game_mode)

@@ -318,6 +318,226 @@ def build_soccar_mesh(n_fillet: int = 8, n_len: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# Internal-edge info (btGenerateInternalEdgeInfo replica)
+# ---------------------------------------------------------------------------
+
+def build_edge_info(verts: np.ndarray, tris: np.ndarray):
+    """Per-triangle per-edge adjacency data for the internal-edge contact
+    adjustment (reference: btInternalEdgeUtility.cpp —
+    btGenerateInternalEdgeInfo / btConnectivityProcessor; RocketSim builds
+    a btTriangleInfoMap per arena mesh, RocketSim.cpp:168-170, and the
+    arena contact callback runs btAdjustInternalEdgeContacts on every
+    mesh contact, Arena.cpp:275).
+
+    Returns (internal (T,3) bool, angle (T,3) f32 — the stored
+    m_edgeVxVyAngle (0 = coplanar seam), nb_normal (T,3,3) f32 — the
+    neighbor normal as bullet's computedNormalB with the swap flag
+    applied, convex (T,3) bool).  Edge e of triangle t is
+    (v[e], v[(e+1)%3]).
+    """
+    verts = np.asarray(verts, np.float64)
+    tris = np.asarray(tris, np.int64)
+    T = len(tris)
+    tv = verts[tris]                                  # (T, 3, 3)
+    n_face = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+    n_face /= np.maximum(np.linalg.norm(n_face, axis=-1, keepdims=True),
+                         1e-30)
+
+    internal = np.zeros((T, 3), bool)
+    angle = np.zeros((T, 3), np.float32)
+    convex = np.zeros((T, 3), bool)
+    nb_normal = np.zeros((T, 3, 3), np.float32)
+
+    edge_map: dict = {}
+    for t in range(T):
+        for e in range(3):
+            key = tuple(sorted((int(tris[t, e]), int(tris[t, (e + 1) % 3]))))
+            edge_map.setdefault(key, []).append((t, e))
+
+    # runtime edge vectors (the adjust code's per-case choices all equal
+    # v[e] - v[(e+1)%3] for edge index e)
+    def edge_vec(t, e):
+        return tv[t, e] - tv[t, (e + 1) % 3]
+
+    def rot(axis, ang, v):
+        axis = axis / np.maximum(np.linalg.norm(axis), 1e-30)
+        c, s = np.cos(ang), np.sin(ang)
+        return (v * c + np.cross(axis, v) * s
+                + axis * np.dot(axis, v) * (1 - c))
+
+    for key, owners in edge_map.items():
+        if len(owners) != 2:
+            continue
+        for (ta, ea), (tb, _eb) in (owners, owners[::-1]):
+            # replicate btConnectivityProcessor for triangle A's edge ea
+            i0, i1 = ea, (ea + 1) % 3
+            egen = tv[ta, i1] - tv[ta, i0]
+            egen = egen / np.maximum(np.linalg.norm(egen), 1e-30)
+            other_a = tv[ta, 3 - i0 - i1]
+            na, nb = n_face[ta], n_face[tb]
+            ca = np.cross(egen, na)
+            ca /= np.maximum(np.linalg.norm(ca), 1e-30)
+            if np.dot(ca, other_a - tv[ta, i0]) < 0:
+                ca = -ca
+            shared = set(key)
+            other_b_idx = [j for j in range(3)
+                           if int(tris[tb, j]) not in shared][0]
+            cb = np.cross(egen, nb)
+            cb /= np.maximum(np.linalg.norm(cb), 1e-30)
+            if np.dot(cb, tv[tb, other_b_idx] - tv[ta, i0]) < 0:
+                cb = -cb
+
+            calc_edge = np.cross(ca, cb)
+            len2 = np.dot(calc_edge, calc_edge)
+            if len2 < 1e-4:  # m_planarEpsilon
+                stored = 0.0
+                is_cx = False
+            else:
+                calc_edge /= np.sqrt(len2)
+                calc_na = np.cross(calc_edge, ca)
+                calc_na /= np.maximum(np.linalg.norm(calc_na), 1e-30)
+                angle2 = np.arctan2(np.dot(cb, calc_na), np.dot(cb, ca))
+                ang4 = np.pi - angle2
+                is_cx = np.dot(na, cb) < 0
+                corrected = ang4 if is_cx else -ang4
+                stored = -corrected
+            internal[ta, ea] = True
+            angle[ta, ea] = np.float32(stored)
+            convex[ta, ea] = is_cx
+            # computedNormalB with the swap flag applied
+            cnb = rot(edge_vec(ta, ea), stored, na)
+            if np.dot(cnb, nb) < 0:
+                cnb = -cnb
+            nb_normal[ta, ea] = cnb.astype(np.float32)
+    return internal, angle, nb_normal, convex
+
+
+# ---------------------------------------------------------------------------
+# Bullet BVH leaf order (btOptimizedBvh build replica)
+# ---------------------------------------------------------------------------
+
+def _bt_quantize(p, bmin, q, is_max):
+    """btQuantizedBvh::quantize — float32 math, C-style uint16 casts."""
+    v = ((p - bmin) * q).astype(np.float32)
+    if is_max:
+        return (np.trunc(v + np.float32(1.0)).astype(np.int64)
+                .astype(np.uint16) | np.uint16(1))
+    return (np.trunc(v).astype(np.int64).astype(np.uint16)
+            & np.uint16(0xFFFE))
+
+
+def bvh_leaf_order(verts: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Triangle indices in bullet BVH traversal order.
+
+    Replicates btOptimizedBvh's quantized build (btQuantizedBvh.cpp:
+    setQuantizationValues, calcSplittingAxis variance split,
+    sortAndCalcSplittingIndex partition with the balance guard) so the
+    leaf-array order — which is the order btBvhTriangleMeshShape reports
+    triangles, and therefore bullet's manifold INSERTION order — can be
+    reproduced without bullet.  Validated against tools/oracle/bvh_order.
+    The manifold insertion order matters because the fork disables contact
+    deduplication (btPersistentManifold.cpp getCacheEntry returns -1) and
+    caps manifolds at 4 points via the keep-deepest/max-area heuristic.
+    """
+    verts = np.asarray(verts, np.float32)
+    tris = np.asarray(tris, np.int64)
+
+    # btTriangleMeshShape::recalcLocalAabb (margin 0 for concave shapes)
+    amin = verts.min(0).astype(np.float32)
+    amax = verts.max(0).astype(np.float32)
+
+    # btQuantizedBvh::setQuantizationValues(margin=1.0) incl. the two
+    # conservative re-derivation steps
+    clamp = np.float32(1.0)
+    bmin = (amin - clamp).astype(np.float32)
+    bmax = (amax + clamp).astype(np.float32)
+    q = (np.float32(65533.0) / (bmax - bmin)).astype(np.float32)
+    v = (_bt_quantize(bmin, bmin, q, False).astype(np.float32) / q
+         + bmin).astype(np.float32)
+    bmin = np.minimum(bmin, v - clamp).astype(np.float32)
+    q = (np.float32(65533.0) / (bmax - bmin)).astype(np.float32)
+    v = (_bt_quantize(bmax, bmin, q, True).astype(np.float32) / q
+         + bmin).astype(np.float32)
+    bmax = np.maximum(bmax, v + clamp).astype(np.float32)
+    q = (np.float32(65533.0) / (bmax - bmin)).astype(np.float32)
+
+    # per-triangle AABBs with the PCK zero-dimension expansion
+    tv = verts[tris]                                  # (T, 3, 3)
+    tmin = tv.min(1).astype(np.float32)
+    tmax = tv.max(1).astype(np.float32)
+    thin = (tmax - tmin) < np.float32(0.002)
+    tmax = np.where(thin, tmax + np.float32(0.001), tmax).astype(np.float32)
+    tmin = np.where(thin, tmin - np.float32(0.001), tmin).astype(np.float32)
+    qmin = _bt_quantize(tmin, bmin, q, False)
+    qmax = _bt_quantize(tmax, bmin, q, True)
+    # build-time centers: unQuantize then average (float32)
+    umin = (qmin.astype(np.float32) / q + bmin).astype(np.float32)
+    umax = (qmax.astype(np.float32) / q + bmin).astype(np.float32)
+    centers = (np.float32(0.5) * (umax + umin)).astype(np.float32)
+
+    order = np.arange(len(tris))
+
+    def _seq_sum(rows):
+        # bullet accumulates btVector3s one by one in float32; numpy's
+        # pairwise summation rounds differently and flips split decisions
+        acc = np.zeros(3, np.float32)
+        for r in rows:
+            acc = (acc + r).astype(np.float32)
+        return acc
+
+    # Subtree headers (btBvhSubtreeInfo): appended BOTTOM-UP during the
+    # recursion unwind — a node whose subtree exceeds
+    # MAX_SUBTREE_SIZE_IN_BYTES (2048B = 128 nodes) appends headers for
+    # each child that fits; the traversal then walks headers in append
+    # order, so the leaf visit order is NOT pre-order for big meshes.
+    MAX_SUBTREE_NODES = 2048 // 16
+    headers: list = []  # (start, end) leaf ranges in append order
+
+    def build(start, end):
+        """Returns this subtree's total node count (leaves + internals)."""
+        n = end - start
+        if n == 1:
+            return 1
+        c = centers[order[start:end]]
+        means = (_seq_sum(c)
+                 * (np.float32(1.0) / np.float32(n))).astype(np.float32)
+        diff2 = ((c - means) * (c - means)).astype(np.float32)
+        variance = _seq_sum(diff2) * (np.float32(1.0) / np.float32(n - 1))
+        axis = int(np.argmax(variance))
+        split_value = means[axis]
+        # partition: centers > splitValue first, preserving bullet's swap
+        # semantics (swap with the running splitIndex slot)
+        split = start
+        for i in range(start, end):
+            if centers[order[i], axis] > split_value:
+                order[i], order[split] = order[split], order[i]
+                split += 1
+        balanced = n // 3
+        if (split <= start + balanced) or (split >= end - 1 - balanced):
+            split = start + (n >> 1)
+        left_nodes = build(start, split)
+        right_nodes = build(split, end)
+        total = 1 + left_nodes + right_nodes
+        if total > MAX_SUBTREE_NODES:
+            if left_nodes <= MAX_SUBTREE_NODES:
+                headers.append((start, split))
+            if right_nodes <= MAX_SUBTREE_NODES:
+                headers.append((split, end))
+        return total
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 10000))
+    try:
+        total = build(0, len(tris))
+    finally:
+        sys.setrecursionlimit(old)
+    if total <= MAX_SUBTREE_NODES or not headers:
+        return order
+    return np.concatenate([order[s:e] for s, e in headers])
+
+
+# ---------------------------------------------------------------------------
 # Baked uniform grid (replaces btBvhTriangleMeshShape + the suspension grid)
 # ---------------------------------------------------------------------------
 
@@ -338,11 +558,20 @@ class MeshGrid:
     cells: jnp.ndarray      # (Cx, Cy, Cz, K) int32, -1 padded
     origin: jnp.ndarray     # (3,)
     inv_cell: jnp.ndarray   # (3,)
+    # internal-edge info (btTriangleInfoMap equivalent), per tri edge
+    # (v[e], v[(e+1)%3]):
+    edge_internal: jnp.ndarray  # (T, 3) bool
+    edge_angle: jnp.ndarray     # (T, 3) stored m_edgeAngle (0 = coplanar)
+    edge_nb: jnp.ndarray        # (T, 3, 3) computedNormalB (swap applied)
+    edge_convex: jnp.ndarray    # (T, 3) bool TRI_INFO_*_CONVEX
     margin: float
 
     def tree_flatten(self):
         return ((self.tri_a, self.edge_ab, self.edge_ac, self.normal,
-                 self.cells, self.origin, self.inv_cell), self.margin)
+                 self.cells, self.origin, self.inv_cell,
+                 self.edge_internal, self.edge_angle, self.edge_nb,
+                 self.edge_convex),
+                self.margin)
 
     @classmethod
     def tree_unflatten(cls, margin, leaves):
@@ -385,12 +614,15 @@ class MeshGrid:
 
         n = np.cross(b - a, c - a)
         n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        e_int, e_ang, e_nb, e_cvx = build_edge_info(verts, tris)
         return cls(
             tri_a=jnp.asarray(a), edge_ab=jnp.asarray(b - a),
             edge_ac=jnp.asarray(c - a), normal=jnp.asarray(n),
             cells=jnp.asarray(cells), origin=jnp.asarray(lo, jnp.float32),
             inv_cell=jnp.asarray(1.0 / cell_size
                                  * np.ones(3), jnp.float32),
+            edge_internal=jnp.asarray(e_int), edge_angle=jnp.asarray(e_ang),
+            edge_nb=jnp.asarray(e_nb), edge_convex=jnp.asarray(e_cvx),
             margin=float(margin))
 
     # -- candidate gather ---------------------------------------------------
@@ -405,6 +637,93 @@ class MeshGrid:
         safe = jnp.maximum(idx, 0)
         return (self.tri_a[safe], self.edge_ab[safe], self.edge_ac[safe],
                 self.normal[safe])
+
+    def adjust_internal_edges(self, idx: jnp.ndarray, n: jnp.ndarray,
+                              pos_b: jnp.ndarray, dist: jnp.ndarray):
+        """btAdjustInternalEdgeContacts replica (btInternalEdgeUtility.cpp:
+        414-797, run by the arena contact callback on every mesh contact).
+
+        For a contact within 5uu (0.1bt m_edgeDistanceThreshold) of its
+        triangle's nearest INTERNAL edge: coplanar seams snap the normal to
+        the face normal (killing the spurious tilted edge normals a sphere
+        or box picks up crossing tessellation seams); angled seams clamp
+        the normal into the wedge between the two face normals.  The
+        contact point reprojects along the new normal from positionWorldOnA.
+
+        idx (..., K) triangle ids; n (..., K, 3) contact normals (toward
+        the colliding body); pos_b (..., K, 3) point on the mesh;
+        dist (..., K) contact distances.  Returns (n', pos_b').
+        """
+        safe = jnp.maximum(idx, 0)
+        a = self.tri_a[safe]
+        v = jnp.stack([a, a + self.edge_ab[safe], a + self.edge_ac[safe]],
+                      axis=-2)                         # (..., K, 3verts, 3)
+        tri_n = self.normal[safe]
+        e_int = self.edge_internal[safe]               # (..., K, 3)
+        e_ang = self.edge_angle[safe]
+        e_nb = self.edge_nb[safe]                      # (..., K, 3, 3)
+        e_cvx = self.edge_convex[safe]
+
+        # nearest point on each edge segment to the contact point
+        p0 = v
+        p1 = jnp.roll(v, -1, axis=-2)
+        seg = p1 - p0
+        t = jnp.sum((pos_b[..., None, :] - p0) * seg, -1) / jnp.maximum(
+            jnp.sum(seg * seg, -1), 1e-12)
+        t = jnp.clip(t, 0.0, 1.0)
+        near_pt = p0 + seg * t[..., None]
+        e_dist = jnp.linalg.norm(pos_b[..., None, :] - near_pt, axis=-1)
+        e_dist_m = jnp.where(e_int, e_dist, jnp.inf)
+        best = jnp.argmin(e_dist_m, axis=-1)           # (..., K)
+        best_dist = jnp.take_along_axis(e_dist_m, best[..., None],
+                                        -1)[..., 0]
+        near = best_dist < (0.1 * 50.0)                # 0.1bt in uu
+
+        def _pick(arr):
+            return jnp.take_along_axis(arr, best[..., None], -1)[..., 0]
+
+        ang = _pick(e_ang)
+        cvx = _pick(e_cvx)
+        nb = jnp.take_along_axis(e_nb, best[..., None, None], -2)[..., 0, :]
+        # runtime edge vector: v[e] - v[(e+1)%3]
+        edge = -jnp.take_along_axis(seg, best[..., None, None],
+                                    -2)[..., 0, :]
+        s = jnp.where(cvx, 1.0, -1.0)[..., None]
+
+        flat = ang == 0.0
+        backfacing = (jnp.sum(n * s * tri_n, -1) < 0.0) & (
+            jnp.sum(n * s * nb, -1) < 0.0)
+        concave = flat | backfacing
+
+        # concave path: snap to the face normal unless it opposes the
+        # contact normal
+        snap_ok = jnp.sum(tri_n * n, -1) >= 0.0
+        n_snap = jnp.where((concave & snap_ok)[..., None], tri_n, n)
+
+        # convex path: clamp into the wedge [0, storedAngle] around the
+        # edge (btClampNormal)
+        ec = s * tri_n
+        edge_u = edge / jnp.maximum(
+            jnp.linalg.norm(edge, axis=-1, keepdims=True), 1e-12)
+        cross_ec = jnp.cross(edge, ec)
+        cross_ec = cross_ec / jnp.maximum(
+            jnp.linalg.norm(cross_ec, axis=-1, keepdims=True), 1e-12)
+        cur = jnp.arctan2(jnp.sum(n * cross_ec, -1), jnp.sum(n * ec, -1))
+        clamped = jnp.where(ang < 0, cur < ang, cur > ang)
+        diff = ang - cur
+        c, si = jnp.cos(diff)[..., None], jnp.sin(diff)[..., None]
+        n_rot = (n * c + jnp.cross(edge_u, n) * si
+                 + edge_u * jnp.sum(edge_u * n, -1, keepdims=True) * (1 - c))
+        apply_clamp = clamped & (jnp.sum(n_rot * tri_n, -1) > 0.0)
+        n_clamp = jnp.where(apply_clamp[..., None], n_rot, n)
+
+        n_new = jnp.where(concave[..., None], n_snap, n_clamp)
+        n_new = jnp.where(near[..., None], n_new, n)
+        # reproject: posB' = posA - n'*d with posA = posB + n*d
+        pos_a = pos_b + n * dist[..., None]
+        pos_b_new = jnp.where((near & (jnp.any(n_new != n, -1)))[..., None],
+                              pos_a - n_new * dist[..., None], pos_b)
+        return n_new, pos_b_new
 
     # -- queries ------------------------------------------------------------
     def sphere_contacts(self, pos: jnp.ndarray, radius):
@@ -591,6 +910,10 @@ def load_arena_mesh(mesh_dir: str | None = None,
     mesh to one static world), else from the procedural soccar mesh."""
     if mesh_dir is None:
         verts, tris = build_soccar_mesh()
+        # reorder triangles into bullet's BVH traversal order so candidate
+        # index order == manifold insertion order (the BVH was built from
+        # BT-unit coordinates — quantization is unit-sensitive)
+        tris = tris[bvh_leaf_order(verts / 50.0, tris)]
         return MeshGrid.bake(verts, tris, cell_size, margin)
     import glob
     import os

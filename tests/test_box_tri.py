@@ -46,17 +46,16 @@ def test_closest_pair_and_sat_vs_bruteforce():
             assert np.all(np.abs(pb[i]) <= h + 1e-4)
 
 
-def test_contact_on_flat_floor_matches_plane_geometry():
-    # identity-rotation box over a big floor triangle: contact distance is
-    # the face height minus twice the (safe) margin
+def test_contact_on_flat_floor_matches_bullet_probe():
+    # identity-rotation box over a big floor triangle: gjk_probe-measured
+    # bullet distances (core = he - 0.04, minus the 0.03616 safe margin)
     he = jnp.asarray([1.1801, 0.8420, 0.3616])
-    margin = 0.03616
     tri = (jnp.asarray([0.0, -10.0, 0.0]), jnp.asarray([20.48, -10.0, 0.0]),
            jnp.asarray([20.48, 10.48, 0.0]))
-    for z, want in [(0.50, 0.10224), (0.45, 0.05224), (0.38, -0.01776),
-                    (0.30, -0.09776)]:
+    for z, want in [(0.45, 0.092240), (0.40, 0.042240), (0.3616, 0.003840),
+                    (0.30, -0.057754)]:
         n, pt, dist = box_tri.box_triangle_contact(
-            jnp.asarray([15.0, -2.0, z]), jnp.eye(3), he, margin, margin,
+            jnp.asarray([15.0, -2.0, z]), jnp.eye(3), he, 0.04, 0.03616,
             *tri)
         assert abs(float(dist) - want) < 2e-3, (z, float(dist), want)
         assert float(n[2]) > 0.99

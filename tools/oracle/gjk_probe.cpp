@@ -39,7 +39,7 @@ int main() {
         btTriangleShape mesh(btVector3(v[15], v[16], v[17]),
                              btVector3(v[18], v[19], v[20]),
                              btVector3(v[21], v[22], v[23]));
-        mesh.setMargin(CONVEX_DISTANCE_MARGIN);
+        mesh.setMargin(0.0f);  // btConcaveShape default margin (real pipeline)
 
         btCollisionObject boxObj, meshObj;
         boxObj.setCollisionShape(&box);

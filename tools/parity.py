@@ -113,6 +113,11 @@ def default_cmf_dir() -> str:
     d = os.path.join(os.path.dirname(ORACLE_BIN), "cmf")
     path = os.path.join(d, "soccar.cmf")
     verts, tris = meshmod.build_soccar_mesh()
+    # The reference feeds .cmf coordinates straight into the bullet world
+    # with NO unit conversion (CollisionMeshFile::MakeBulletMesh,
+    # Arena::_AddStaticCollisionShape) — real assets are stored in BT
+    # units, so the oracle's copy must be too (1 bt = 50 uu).
+    verts = verts / 50.0
     # regenerate when the procedural mesh changes (hash mismatch)
     if (not os.path.exists(path)
             or meshmod.cmf_hash(*meshmod.read_cmf(path))

@@ -75,6 +75,24 @@ def scenarios(T):
     out["car_ball_hit"] = S([C(vel=(1300, 0, 0), boost=100)],
                             ctrl(T, throttle=1),
                             ball_pos=(400, 0, 93.15))
+    # --- curved-mesh scenarios (exercise the fillet ramps / corners that
+    # only exist in the triangle-mesh arena)
+    # ball rolled hard into the side wall: rides the floor->wall fillet up
+    out["ball_ramp_wall"] = S([C(pos=(-2000, 2000, 17.01))], ctrl(T),
+                              ball_pos=(3500, 0, 93.15),
+                              ball_vel=(1800, 0, 0))
+    # ball into the 45-degree corner wedge
+    out["ball_corner"] = S([C(pos=(-2000, -2000, 17.01))], ctrl(T),
+                           ball_pos=(2800, 3800, 93.15),
+                           ball_vel=(1100, 1100, 0))
+    # ball rolled into the goal mouth (crosses the goal opening geometry)
+    out["ball_goal_mouth"] = S([C(pos=(-2000, 2000, 17.01))], ctrl(T),
+                               ball_pos=(0, 4600, 93.15),
+                               ball_vel=(0, 1300, 0))
+    # car drives the floor->wall transition and onto the wall
+    out["car_wall_ride"] = S([C(pos=(3300, 0, 17.01), vel=(1300, 0, 0),
+                                boost=100)],
+                             ctrl(T, throttle=1), **far_ball)
     # two cars: bump course
     out["car_bump"] = S([C(vel=(1600, 0, 0)),
                          C(team=1, pos=(500, 0, 17.01),
