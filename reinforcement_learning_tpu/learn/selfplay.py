@@ -142,6 +142,12 @@ class SkillTracker:
         self.env_states = None
         self.mode_name = f"{team_size}v{team_size}"
         self.iterations_since_ran = 0
+        # continuation state (PolicyVersionManager.cpp:289-299)
+        self.continuation = False
+        self.cur_goals = 0
+        self.prev_old_idx = 0
+        self.prev_new_team = 0
+        self.prev_sim_time = 0.0
 
     def _run_impl(self, cur_params, old_policy, old_head, env_states,
                   new_team, key):
@@ -155,6 +161,7 @@ class SkillTracker:
         def step_fn(carry, _):
             states, obs, masks, key, new_goals, old_goals = carry
             key, k1, k2 = jax.random.split(key, 3)
+            del _
             flat_obs = obs.reshape(-1, obs.shape[-1])
             flat_masks = masks.reshape(-1, masks.shape[-1])
             a_new, _ = learner.sample_actions(
@@ -177,29 +184,54 @@ class SkillTracker:
                     new_goals + jnp.sum(new_scored),
                     old_goals + jnp.sum(old_scored)), None
 
-        states, obs, masks = env.reset(key)
+        states, obs, masks = env_states
         carry = (states, obs, masks, key, jnp.zeros((), jnp.int32),
                  jnp.zeros((), jnp.int32))
         carry, _ = jax.lax.scan(step_fn, carry, None,
                                 length=self.steps_per_run)
-        return carry[0], carry[4], carry[5]
+        return (carry[0], carry[1], carry[2]), carry[4], carry[5]
 
     def run_matches(self, cur_params, bank: VersionBank, rng: np.random.RandomState):
         """Host-side wrapper: pick version/team, run, apply per-goal ELO.
+
+        When too few goals were scored the eval CONTINUES next time —
+        same env states, same opponent version and team, with the
+        accumulated sim time capped at ``max_sim_time`` (reference:
+        PolicyVersionManager.cpp:289-299 "Forcing continuation").
 
         Returns (bank, current_rating, info dict)."""
         count = int(jax.device_get(bank.count))
         if count == 0:
             return bank, float(current_rating(bank)), {}
-        idx = int(rng.randint(0, count))
-        new_team = int(rng.randint(0, 2))
         key = jax.random.PRNGKey(int(rng.randint(0, 2 ** 31 - 1)))
+        if self.continuation and self.env_states is not None:
+            idx = min(self.prev_old_idx, count - 1)
+            new_team = self.prev_new_team
+            total_sim_time = self.prev_sim_time + self.config.sim_time
+        else:
+            idx = int(rng.randint(0, count))
+            new_team = int(rng.randint(0, 2))
+            total_sim_time = self.config.sim_time
+            self.env_states = None
+            self.cur_goals = 0
+        if self.env_states is None:
+            self.env_states = self.env.reset(key)
         old_policy, old_head = get_version(bank, idx)
-        _, new_goals, old_goals = self._run(
+        self.env_states, new_goals, old_goals = self._run(
             cur_params, old_policy, old_head, self.env_states,
             jnp.int32(new_team), key)
         new_goals = int(jax.device_get(new_goals))
         old_goals = int(jax.device_get(old_goals))
+        self.cur_goals += new_goals + old_goals
+        if (self.cur_goals < self.config.num_arenas
+                and total_sim_time < self.config.max_sim_time):
+            self.continuation = True
+            self.prev_old_idx = idx
+            self.prev_new_team = new_team
+            self.prev_sim_time = total_sim_time
+        else:
+            self.continuation = False
+            self.cur_goals = 0
 
         cur = float(jax.device_get(current_rating(bank)))
         old = float(jax.device_get(bank.ratings[idx]))

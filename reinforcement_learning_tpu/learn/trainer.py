@@ -68,16 +68,26 @@ class Trainer:
     def __init__(self, env: RocketLeagueEnv, ppo_config: PPOConfig,
                  config: TrainerConfig = TrainerConfig(),
                  selfplay: "sp.SelfPlayConfig | None" = None,
-                 step_metrics_fn=None):
+                 step_metrics_fn=None, guiding_params=None):
         """``step_metrics_fn(env_states, out) -> dict[str, array]`` is the
         jit-compatible equivalent of the reference's per-step user metric
         callback (reference: StepCallback, ExampleMain.cpp:232-254 wired in
         Learner.cpp:796-797); values are averaged over the iteration and
-        reported alongside the built-in metrics."""
+        reported alongside the built-in metrics.
+
+        ``guiding_params``: a frozen ``PPOParams`` whose policy
+        distribution is pulled toward by an L1 auxiliary loss scaled by
+        ``ppo_config.guiding_strength`` (reference: guiding policy,
+        PPOLearnerConfig.h:55-57, PPOLearner.cpp:458-468).  Load one with
+        ``utils.checkpoint.load_params``."""
         self.env = env
         self.config = config
         self.ppo_config = ppo_config
         self.step_metrics_fn = step_metrics_fn
+        self.guiding_params = guiding_params
+        if guiding_params is not None and ppo_config.guiding_strength <= 0:
+            raise ValueError("guiding_params given but "
+                             "ppo_config.guiding_strength is 0")
         self.learner = PPOLearner(env.obs_size, env.num_actions, ppo_config)
 
         n_players = env.config.num_envs * env.config.cars_per_arena
@@ -168,6 +178,11 @@ class Trainer:
                 final_obs=maybe_std(out.final_obs),
                 goal=out.goal_scored,
                 touch=out.ball_touched,
+                # per-reward-component means (reference samples these per
+                # arena, EnvSet.cpp:227-249 / Learner.cpp:805-820; a full
+                # mean costs one scalar per component per step)
+                reward_components={k: jnp.mean(v) for k, v in
+                                   out.reward_components.items()},
             )
             if self.step_metrics_fn is not None:
                 data["user_metrics"] = self.step_metrics_fn(env_states2, out)
@@ -218,7 +233,8 @@ class Trainer:
             w = jnp.broadcast_to((~is_old_player).astype(jnp.float32)
                                  [None, None, :], (T, N, P))
             data["weight"] = w.reshape(-1)
-        ppo_state, ppo_metrics = learner.update(state.ppo, data, kupdate)
+        ppo_state, ppo_metrics = learner.update(
+            state.ppo, data, kupdate, guiding_params=self.guiding_params)
 
         steps_collected = T * N * P
         metrics = dict(ppo_metrics)
@@ -230,6 +246,8 @@ class Trainer:
         metrics["return_std"] = return_stat.std
         metrics["reward_clip_portion"] = clip_portion
         metrics["value_mean"] = jnp.mean(v_obs)
+        for name, v in traj["reward_components"].items():
+            metrics[f"reward/{name}"] = jnp.mean(v)
         if self.step_metrics_fn is not None:
             # a (value, weight-mask) tuple = conditional average, matching
             # Report::AddAvg called only on qualifying events

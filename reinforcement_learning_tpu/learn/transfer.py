@@ -108,3 +108,62 @@ class TransferLearner:
                new_masks, old_masks, action_map=None):
         return self._update(params, opt_state, old_params, new_obs,
                             old_obs, new_masks, old_masks, action_map)
+
+    # ------------------------------------------------------------------
+    def run(self, env, params: PPOParams, old_params: PPOParams,
+            old_obs_builder, iterations: int, key,
+            old_action_parser=None, action_map=None, log_fn=None):
+        """The StartTransferLearn equivalent (reference:
+        Learner.cpp:299-480): step the envs with the NEW policy while
+        building observations through BOTH obs builders on the same game
+        states, then distill per collected batch.
+
+        ``old_obs_builder``: builder producing the teacher's obs layout;
+        ``old_action_parser``: supplies the teacher's action mask (defaults
+        to the env's).  Returns (params, final metrics).
+        """
+        learner = self.learner
+        n_players = env.config.num_envs * env.config.cars_per_arena
+        steps = max(self.config.batch_size // n_players, 1)
+        teams = env.teams
+
+        def collect(carry, _):
+            states, obs, masks, key = carry
+            key, ksample = jax.random.split(key)
+            flat_obs = obs.reshape(-1, obs.shape[-1])
+            flat_masks = masks.reshape(-1, masks.shape[-1])
+            actions, _ = learner.sample_actions(params_cur, flat_obs,
+                                                flat_masks, ksample)
+            # teacher-side obs/mask from the SAME state
+            arena = states.phys.arena
+            old_obs = jax.vmap(
+                lambda cars, ball, pads, prev: old_obs_builder.build(
+                    cars, ball, pads, prev, teams))(
+                arena.cars, arena.ball, arena.pads, states.prev_actions)
+            if old_action_parser is not None:
+                old_masks = jax.vmap(
+                    lambda cars: old_action_parser.action_mask(cars))(
+                    arena.cars)
+            else:
+                old_masks = masks
+            states, out = env.step(states,
+                                   actions.reshape(obs.shape[:-1]))
+            data = (obs, masks, old_obs, old_masks)
+            return (states, out.obs, out.action_mask, key), data
+
+        opt_state = self.init_opt(params)
+        key, kreset = jax.random.split(key)
+        states, obs, masks = env.reset(kreset)
+        metrics = {}
+        for it in range(iterations):
+            params_cur = params
+            (states, obs, masks, key), batch = jax.lax.scan(
+                collect, (states, obs, masks, key), None, length=steps)
+            new_obs, new_masks, old_obs, old_masks = (
+                x.reshape((-1,) + x.shape[3:]) for x in batch)
+            params, opt_state, metrics = self.update(
+                params, opt_state, old_params, new_obs, old_obs,
+                new_masks, old_masks, action_map)
+            if log_fn is not None:
+                log_fn(it, {k: float(v) for k, v in metrics.items()})
+        return params, metrics

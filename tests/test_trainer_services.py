@@ -129,3 +129,83 @@ def test_train_2v2_example_constructs():
     states, out = jax.jit(env.step)(states, acts)
     metrics = mod.step_metrics(states, out)
     assert "Player/Speed" in metrics and "Game/Goal Speed" in metrics
+
+
+def test_guiding_policy_affects_update():
+    """guiding_params must flow through Trainer into the PPO loss
+    (reference: PPOLearnerConfig.h:55-57, PPOLearner.cpp:458-468)."""
+    import dataclasses
+
+    env = _small_env()
+    cfg = dataclasses.replace(_small_ppo(), guiding_strength=10.0)
+    tr0 = Trainer(env, _small_ppo(),
+                  TrainerConfig(ts_per_itr=32, random_seed=99))
+    s0 = tr0.init()
+    guide = s0.ppo.params  # any frozen params work as the guide
+    tr = Trainer(env, cfg, TrainerConfig(ts_per_itr=32, random_seed=7),
+                 guiding_params=guide)
+    state = tr.init()
+    state, metrics = tr.train_iteration(state)
+    assert float(metrics["guiding_loss"]) > 0.0
+
+
+def test_transfer_learn_collection_loop():
+    """StartTransferLearn equivalent: dual obs building + distillation
+    (reference: Learner.cpp:299-480)."""
+    from reinforcement_learning_tpu.envs.obs import DefaultObs
+    from reinforcement_learning_tpu.learn.ppo import PPOLearner
+    from reinforcement_learning_tpu.learn.transfer import (TransferLearner,
+                                                           TransferLearnConfig)
+
+    env = _small_env()
+    learner = PPOLearner(env.obs_size, env.num_actions, _small_ppo())
+    key = jax.random.PRNGKey(0)
+    params = learner.init(key).params
+
+    # teacher: DefaultObs layout (different obs size), same action table
+    P = env.config.cars_per_arena
+    old_builder = DefaultObs(P, env.teams_np)
+    old_obs_size = old_builder.obs_size
+    old_learner = PPOLearner(old_obs_size, env.num_actions, _small_ppo())
+    old_params = old_learner.init(jax.random.PRNGKey(1)).params
+
+    tl = TransferLearner(learner, old_learner,
+                         TransferLearnConfig(batch_size=64, epochs=2))
+    new_params, metrics = tl.run(env, params, old_params, old_builder,
+                                 iterations=2, key=jax.random.PRNGKey(2))
+    assert "transfer_learn_loss" in metrics
+    assert "transfer_learn_accuracy" in metrics
+    # the distilled policy must have moved
+    diff = jax.tree_util.tree_reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.sum(jnp.abs(a - b))),
+                     params.policy, new_params.policy))
+    assert diff > 0.0
+
+
+def test_skill_tracker_continuation():
+    """Too few goals force a continuation with persisted env states
+    (reference: PolicyVersionManager.cpp:289-299)."""
+    from reinforcement_learning_tpu.learn import selfplay as sp
+    from reinforcement_learning_tpu.learn.ppo import PPOLearner
+
+    cfg = sp.SkillTrackerConfig(enabled=True, num_arenas=2, sim_time=0.2,
+                                max_sim_time=10.0)
+    env = _small_env()
+    learner = PPOLearner(env.obs_size, env.num_actions, _small_ppo())
+    params = learner.init(jax.random.PRNGKey(0)).params
+    tracker = sp.SkillTracker(learner, 1, cfg)
+    bank = sp.VersionBank.make(params, 4, cfg.initial_rating)
+    bank = sp.add_version(bank, params, jnp.int32(1))
+
+    rng = np.random.RandomState(0)
+    bank, rating, info = tracker.run_matches(params, bank, rng)
+    # 0.2s of kickoff play cannot produce 2 goals -> continuation
+    assert tracker.continuation
+    assert tracker.env_states is not None
+    states_before = tracker.env_states
+    prev_idx, prev_team = tracker.prev_old_idx, tracker.prev_new_team
+    bank, rating, info = tracker.run_matches(params, bank, rng)
+    # the second run must have continued from the SAME choices
+    assert tracker.prev_old_idx == prev_idx if tracker.continuation else True
+    assert tracker.prev_sim_time > 0 or not tracker.continuation

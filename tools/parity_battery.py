@@ -133,5 +133,69 @@ def main():
               f"{dbv:9.2f} {','.join(bad_flags)}")
 
 
+def long_gate(T: int = 10_000, seed: int = 1234):
+    """BASELINE #1: the 10k-tick seeded replay gate.
+
+    Two cars + ball from a kickoff-like state, driven by seeded
+    piecewise-constant pseudo-random controls, through oracle and engine;
+    reports per-tick divergence against BallState::Matches margins
+    (reference: Ball.h:38 — pos 0.8uu, vel 0.4, angvel 0.02) and the
+    first tick each margin class is exceeded.
+    """
+    rng = np.random.default_rng(seed)
+    # piecewise-constant random controls, held 12 ticks (human-rate input)
+    n_seg = T // 12 + 1
+    seg = np.zeros((n_seg, 2, 8), np.float32)
+    seg[:, :, 0] = rng.choice([1.0, 1.0, 1.0, -1.0, 0.0], (n_seg, 2))
+    seg[:, :, 1] = rng.uniform(-1, 1, (n_seg, 2))
+    seg[:, :, 2] = rng.uniform(-1, 1, (n_seg, 2)) * (
+        rng.random((n_seg, 2)) < 0.3)
+    seg[:, :, 5] = rng.random((n_seg, 2)) < 0.06   # jump
+    seg[:, :, 6] = rng.random((n_seg, 2)) < 0.35   # boost
+    seg[:, :, 7] = rng.random((n_seg, 2)) < 0.08   # handbrake
+    controls = np.repeat(seg, 12, axis=0)[:T]
+
+    cars = [parity.CarInit(pos=(-2048, -2560, 17.01),
+                           fwd=(0.7071, 0.7071, 0),
+                           right=(-0.7071, 0.7071, 0), boost=33.3),
+            parity.CarInit(team=1, pos=(2048, 2560, 17.01),
+                           fwd=(-0.7071, -0.7071, 0),
+                           right=(0.7071, -0.7071, 0), boost=33.3)]
+    sc = parity.Scenario(cars=cars, controls=controls)
+    ref = parity.run_oracle([sc])[0]
+    ours = parity.run_jax(sc)
+
+    gcf = parity.car_trace_field
+    margins = {"car_pos": (0.8, np.abs(gcf(ref["cars"], "pos")
+                                       - gcf(ours["cars"], "pos"))),
+               "car_vel": (0.4, np.abs(gcf(ref["cars"], "vel")
+                                       - gcf(ours["cars"], "vel"))),
+               "car_angvel": (0.02, np.abs(gcf(ref["cars"], "ang_vel")
+                                           - gcf(ours["cars"], "ang_vel"))),
+               "ball_pos": (0.8, np.abs(ref["ball"][:, :3]
+                                        - ours["ball"][:, :3])),
+               "ball_vel": (0.4, np.abs(ref["ball"][:, 3:6]
+                                        - ours["ball"][:, 3:6]))}
+    print(f"LONG GATE: {T} ticks, seed {seed} "
+          f"(BallState::Matches margins)")
+    results = {}
+    for name, (margin, err) in margins.items():
+        per_tick = err.reshape(err.shape[0], -1).max(-1)
+        ok = per_tick <= margin
+        first_bad = int(np.argmin(ok)) if not ok.all() else -1
+        results[name] = dict(margin=margin,
+                             within_pct=float(ok.mean() * 100),
+                             first_exceeded=first_bad,
+                             max_err=float(per_tick.max()))
+        print(f"  {name:10s} margin={margin:<5} within={ok.mean()*100:6.2f}%"
+              f" first_exceeded_tick={first_bad:6d}"
+              f" max_err={per_tick.max():10.2f}")
+    return results
+
+
 if __name__ == "__main__":
-    main()
+    if "--long" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        long_gate(int(args[0]) if args else 10_000)
+    else:
+        main()
