@@ -90,3 +90,46 @@ def test_env_state_snapshot_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(states),
                     jax.tree_util.tree_leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lt_converter_roundtrip():
+    """GigaLearnCPP .lt torchscript export/import (reference:
+    Models.cpp:116-195 torch::save of nn::Sequential; the reference's own
+    converter reads these with torch.jit.load): params -> .lt -> params is
+    exact and the torchscript forward matches apply_mlp."""
+    import tempfile
+
+    import torch
+
+    import checkpoint_converter as conv
+    from reinforcement_learning_tpu.models.mlp import MLPConfig, apply_mlp
+
+    rng = np.random.default_rng(11)
+
+    def layer(fi, fo, ln=True):
+        out = {"w": rng.normal(size=(fi, fo)).astype(np.float32),
+               "b": rng.normal(size=fo).astype(np.float32)}
+        if ln:
+            out["ln_scale"] = rng.normal(size=fo).astype(np.float32)
+            out["ln_bias"] = rng.normal(size=fo).astype(np.float32)
+        return out
+
+    params = {"layers": [layer(9, 24), layer(24, 24)],
+              "out": {"w": rng.normal(size=(24, 6)).astype(np.float32),
+                      "b": rng.normal(size=6).astype(np.float32)}}
+    seq = conv._build_torch_sequential(params)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "POLICY.lt")
+        torch.jit.save(torch.jit.script(seq), path)
+        loaded = torch.jit.load(path)
+    back = conv._sequential_to_params(loaded)
+    for a, b in zip(params["layers"], back["layers"]):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    np.testing.assert_array_equal(params["out"]["w"], back["out"]["w"])
+
+    x = rng.normal(size=(4, 9)).astype(np.float32)
+    ours = np.asarray(apply_mlp(params, MLPConfig(9, (24, 24), 6),
+                                jnp.asarray(x)))
+    theirs = loaded(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-5)

@@ -163,16 +163,148 @@ def load_npz_params(path: str):
     return params
 
 
+# ---------------------------------------------------------------------------
+# GigaLearnCPP ``.lt`` torchscript archives (the reference learner's native
+# checkpoint format: Models.cpp:116-127 saves each model's nn::Sequential
+# via torch::save, loadable from Python with torch.jit.load — see the
+# reference's own tools/checkpoint_converter.py:90-92).
+
+_LT_NAMES = {"policy": "POLICY.lt", "critic": "CRITIC.lt",
+             "shared_head": "SHARED_HEAD.lt"}
+
+
+def _build_torch_sequential(params: dict, activation: str = "relu"):
+    """Our MLP params -> an nn.Sequential with the exact module layout the
+    reference builds (Models.cpp:16-29: Linear [+LayerNorm] +activation per
+    hidden layer, then the output Linear)."""
+    import torch
+    import torch.nn as nn
+
+    acts = {"relu": nn.ReLU, "leaky_relu": nn.LeakyReLU,
+            "sigmoid": nn.Sigmoid, "tanh": nn.Tanh}
+    mods = []
+
+    def _linear(layer):
+        w = np.asarray(layer["w"])
+        lin = nn.Linear(w.shape[0], w.shape[1])
+        with torch.no_grad():
+            lin.weight.copy_(torch.from_numpy(w.T.copy()))
+            lin.bias.copy_(torch.from_numpy(np.asarray(layer["b"]).copy()))
+        return lin
+
+    for layer in params["layers"]:
+        mods.append(_linear(layer))
+        if "ln_scale" in layer:
+            ln = nn.LayerNorm(len(layer["ln_scale"]))
+            with torch.no_grad():
+                ln.weight.copy_(torch.from_numpy(
+                    np.asarray(layer["ln_scale"]).copy()))
+                ln.bias.copy_(torch.from_numpy(
+                    np.asarray(layer["ln_bias"]).copy()))
+            mods.append(ln)
+        mods.append(acts[activation]())
+    if "out" in params:
+        mods.append(_linear(params["out"]))
+    return nn.Sequential(*mods)
+
+
+def _sequential_to_params(module) -> dict:
+    """torch.jit-loaded Sequential -> our MLP params dict.  Linear weights
+    are 2-D, LayerNorm weights 1-D; a trailing Linear with no LayerNorm
+    after it is the output layer (addOutputLayer, Models.cpp:25-28)."""
+    entries = []  # (kind, {w,b})
+    sd = module.state_dict()
+    by_idx: dict[int, dict] = {}
+    for key, val in sd.items():
+        parts = key.split(".")
+        by_idx.setdefault(int(parts[-2]), {})[parts[-1]] = \
+            val.detach().cpu().numpy()
+    for idx in sorted(by_idx):
+        e = by_idx[idx]
+        entries.append(("linear" if e["weight"].ndim == 2 else "ln", e))
+
+    layers, out = [], None
+    i = 0
+    while i < len(entries):
+        kind, e = entries[i]
+        assert kind == "linear", "unexpected module order in .lt archive"
+        layer = {"w": e["weight"].T.copy(), "b": e["bias"].copy()}
+        if i + 1 < len(entries) and entries[i + 1][0] == "ln":
+            layer["ln_scale"] = entries[i + 1][1]["weight"].copy()
+            layer["ln_bias"] = entries[i + 1][1]["bias"].copy()
+            i += 1
+        i += 1
+        layers.append(layer)
+    # trailing Linear without LN => output layer
+    if "ln_scale" not in layers[-1] and len(layers) > 1:
+        out = layers.pop()
+    params = {"layers": layers}
+    if out is not None:
+        params["out"] = {"w": out["w"], "b": out["b"]}
+    return params
+
+
+def export_to_lt(checkpoint_dir: str, output_dir: str,
+                 activation: str = "relu"):
+    """Our orbax checkpoint -> GigaLearnCPP POLICY.lt/CRITIC.lt[/SHARED_HEAD
+    .lt] torchscript archives the reference learner can load directly."""
+    import torch
+
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.join(os.path.abspath(checkpoint_dir),
+                                          "state"))
+    params = tree["ppo"]["params"]
+    os.makedirs(output_dir, exist_ok=True)
+    for name, fname in _LT_NAMES.items():
+        p = params.get(name)
+        if p is None:
+            continue
+        seq = _build_torch_sequential(p, activation)
+        torch.jit.save(torch.jit.script(seq),
+                       os.path.join(output_dir, fname))
+    print(f"Exported .lt archives to {output_dir}")
+
+
+def import_from_lt(lt_dir: str, output_path: str):
+    """GigaLearnCPP .lt archives -> params .npz loadable by
+    load_npz_params (mirrors the reference's to_python direction)."""
+    import torch
+
+    flat = {}
+    for name, fname in _LT_NAMES.items():
+        path = os.path.join(lt_dir, fname)
+        if not os.path.exists(path):
+            continue
+        params = _sequential_to_params(torch.jit.load(path,
+                                                      map_location="cpu"))
+        for i, layer in enumerate(params["layers"]):
+            for k, v in layer.items():
+                flat[f"{name}/layers/{i}/{k}"] = v
+        if "out" in params:
+            for k, v in params["out"].items():
+                flat[f"{name}/out/{k}"] = v
+    np.savez(output_path, **flat)
+    print(f"Imported params saved to {output_path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("direction", choices=["to_torch", "from_torch"])
+    ap.add_argument("direction",
+                    choices=["to_torch", "from_torch", "to_lt", "from_lt"])
     ap.add_argument("path")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--activation", default="relu")
     args = ap.parse_args()
     if args.direction == "to_torch":
         export_to_torch(args.path, args.out or "torch_checkpoint")
-    else:
+    elif args.direction == "from_torch":
         import_from_torch(args.path, args.out or "imported_params.npz")
+    elif args.direction == "to_lt":
+        export_to_lt(args.path, args.out or "cpp_checkpoint",
+                     args.activation)
+    else:
+        import_from_lt(args.path, args.out or "imported_params.npz")
 
 
 if __name__ == "__main__":
