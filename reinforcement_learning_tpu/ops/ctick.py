@@ -802,8 +802,10 @@ def _resolve_car_world(k: TickConsts, st, inv_iw, vel_pre, ang_vel_pre):
     true_plane = np.asarray(geom._TRUE_PLANE)
     he = k.half_extents
     off = k.hitbox_offset
+    # 0.02 * compound angular motion disc (margin already inside he;
+    # see contacts.resolve_car_world)
     brk = C.CONTACT_BREAK_FRAC * (
-        float(np.linalg.norm(np.asarray(he) + C.MESH_COLLISION_MARGIN))
+        float(np.linalg.norm(np.asarray(he)))
         + float(np.linalg.norm(np.asarray(off))))
 
     # 8 hitbox corners in world frame (corners_local includes the offset)

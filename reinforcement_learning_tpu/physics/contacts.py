@@ -458,8 +458,13 @@ def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
     sup = box_center[:, None, :] + jnp.einsum(
         'cij,cpj->cpi', cars.rot, sup_local)                 # (C, P, 3)
     sup_d = m.dot(sup, jnp.broadcast_to(pn, sup.shape)) + pd  # (C, P)
+    # Pair contact-breaking threshold: 0.02 * the compound's angular
+    # motion disc = 0.02 * (|he| + |off|) — the box AABB half extents ARE
+    # the constructed half extents (margin folded inside, btBoxShape ctor),
+    # so no margin term is added (btCollisionDispatcher::getNewManifold +
+    # btCollisionShape::getAngularMotionDisc)
     brk = C.CONTACT_BREAK_FRAC * (
-        jnp.linalg.norm(he + C.MESH_COLLISION_MARGIN)
+        jnp.linalg.norm(he)
         + jnp.linalg.norm(jnp.asarray(hitbox_offset, jnp.float32)))
     plane_point_active = valid & true_plane & (sup_d < brk)
 
@@ -605,9 +610,12 @@ def resolve_car_world_mesh(cars: CarsState, half_extents, hitbox_offset,
         box_center[:, None, :], cars.rot[:, None], he,
         C.MESH_COLLISION_MARGIN, safe_margin,
         a, a + ab, a + ac)                                  # (C,K,·)
+    # Pair contact-breaking threshold = 0.02 * compound angular motion
+    # disc = 0.02 * (|he| + |off|); the box AABB already contains the
+    # margin (btBoxShape ctor), so no margin term here
+    # (btCollisionDispatcher::getNewManifold)
     brk = C.CONTACT_BREAK_FRAC * (
-        float(np.linalg.norm(np.asarray(half_extents)
-                             + C.MESH_COLLISION_MARGIN))
+        float(np.linalg.norm(np.asarray(half_extents)))
         + float(np.linalg.norm(np.asarray(hitbox_offset, np.float32))))
     act_k = (idx >= 0) & (dist_k < brk)
     # bullet's 4-slot manifold retention over BVH-ordered candidates;
