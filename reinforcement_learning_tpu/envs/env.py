@@ -130,13 +130,16 @@ class RocketLeagueEnv:
             raise ValueError("the pallas megakernel backend is soccar-only; "
                              "use physics_backend='xla' for "
                              f"{config.game_mode}")
-        if config.arena.use_mesh and config.physics_backend == "pallas":
-            # The megakernel collides against the analytic-plane arena;
-            # an explicit pallas request therefore opts out of the mesh.
-            # (backend "auto" + mesh resolves to the XLA path instead.)
+        if config.physics_backend == "pallas" and (
+                config.arena.use_mesh or config.arena.dynamic_wheel_rays):
+            # The megakernel collides against the analytic-plane arena and
+            # skips the dynamic wheel-ray overlay; an explicit pallas
+            # request therefore opts out of both.  (backend "auto" + mesh
+            # resolves to the XLA path instead.)
             config = dataclasses.replace(
-                config, arena=dataclasses.replace(config.arena,
-                                                  use_mesh=False))
+                config, arena=dataclasses.replace(
+                    config.arena, use_mesh=False,
+                    dynamic_wheel_rays=False))
             self.config = config
         self.params = config.arena
         self.teams_np = config.make_teams()

@@ -85,7 +85,7 @@ def apply_impulse_bt(vel_uu, ang_vel, imp_bt, rel_pos_bt, inv_mass,
 @struct.dataclass
 class WheelRaycast:
     is_in_contact: jnp.ndarray    # (C, 4) bool
-    in_world_contact: jnp.ndarray  # (C, 4) bool (vs static arena; same here)
+    in_world_contact: jnp.ndarray  # (C, 4) bool (vs static arena only)
     contact_point: jnp.ndarray    # (C, 4, 3) uu
     contact_normal: jnp.ndarray   # (C, 4, 3)
     susp_length: jnp.ndarray      # (C, 4) uu
@@ -93,11 +93,51 @@ class WheelRaycast:
     clipped_inv_dot: jnp.ndarray  # (C, 4)
     extra_pushback: jnp.ndarray   # (C, 4) bt impulse magnitude
     hard_point: jnp.ndarray       # (C, 4, 3) uu
+    # Dynamic ground object the ray hit (Arena.cpp:733-750 suspension-grid
+    # dynamic overlay: wheel rays also hit the ball and other cars):
+    # -1 = static world / none, -2 = ball, >= 0 = other car index
+    ground_idx: jnp.ndarray       # (C, 4) int32
+
+
+def _ray_sphere(origin, direction, max_len, center, radius):
+    """Ray vs sphere: (hit, t).  ``direction`` unit; starts outside."""
+    oc = origin - center
+    b = m.dot(oc, direction)
+    c2 = m.dot(oc, oc) - radius * radius
+    disc = b * b - c2
+    t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    hit = (disc > 0.0) & (c2 > 0.0) & (t >= 0.0) & (t <= max_len)
+    return hit, jnp.where(hit, t, max_len)
+
+
+def _ray_obb(origin, direction, max_len, box_center, box_rot, he):
+    """Ray vs oriented box (slab method in box local frame).
+    Returns (hit, t, normal_world)."""
+    lo = m.inv_rotate(box_rot, origin - box_center)
+    ld = m.inv_rotate(box_rot, direction)
+    safe = jnp.where(jnp.abs(ld) > 1e-9, ld, 1e-9)
+    t1 = (-he - lo) / safe
+    t2 = (he - lo) / safe
+    tmin_ax = jnp.minimum(t1, t2)
+    tmax_ax = jnp.maximum(t1, t2)
+    # parallel rays miss unless origin within the slab
+    inside = (jnp.abs(lo) <= he) | (jnp.abs(ld) > 1e-9)
+    tmin = jnp.max(tmin_ax, axis=-1)
+    tmax = jnp.min(jnp.where(inside, tmax_ax, jnp.inf), axis=-1)
+    hit = (tmax >= tmin) & (tmax >= 0.0) & (tmin >= 0.0) \
+        & (tmin <= max_len) & jnp.all(inside, axis=-1)
+    entry_ax = jnp.argmax(tmin_ax, axis=-1)
+    sign = -jnp.sign(jnp.take_along_axis(ld, entry_ax[..., None],
+                                         axis=-1))[..., 0]
+    n_local = jax.nn.one_hot(entry_ax, 3) * sign[..., None]
+    n_world = m.rotate(box_rot, n_local)
+    return hit, jnp.where(hit, tmin, max_len), n_world
 
 
 def wheel_raycasts(cars: CarsState, cfg: CarConfig, mut: MutatorConfig,
                    dt: float, inv_inertia_ws,
-                   game_mode: str = "soccar", grid=None) -> WheelRaycast:
+                   game_mode: str = "soccar", grid=None, ball=None,
+                   alive=None) -> WheelRaycast:
     offsets = jnp.asarray(cfg.wheel_offsets())      # (4, 3)
     radii = jnp.asarray(cfg.wheel_radii())          # (4,)
     rest_len = jnp.asarray(cfg.sus_rest_lengths())  # (4,)
@@ -126,6 +166,50 @@ def wheel_raycasts(cars: CarsState, cfg: CarConfig, mut: MutatorConfig,
         dist = jnp.where(closer, mdist, dist)
         normal = jnp.where(closer[..., None], mnormal, normal)
 
+    in_world = hit
+    ground_idx = jnp.full(hit.shape, -1, jnp.int32)
+
+    # --- dynamic objects (Arena.cpp:733-750: the suspension grid gets a
+    # per-tick dynamic-object overlay so wheel rays hit the ball and other
+    # cars; a dynamic hit sets isInContact but NOT isInContactWithWorld,
+    # btVehicleRL.cpp:149-150)
+    if ball is not None:
+        C_cars = cars.pos.shape[0]
+        dir_b = jnp.broadcast_to(wheel_dir, hard_point.shape)
+        max_b = jnp.broadcast_to(ray_len[None, :], hit.shape)
+        bhit, bt_ = _ray_sphere(hard_point, dir_b, max_b,
+                                ball.pos[None, None, :], mut.ball_radius)
+        closer = bhit & (bt_ < dist)
+        hit = hit | closer
+        dist = jnp.where(closer, bt_, dist)
+        bpt = hard_point + wheel_dir * bt_[..., None]
+        bnormal = m.normalize(bpt - ball.pos[None, None, :])
+        normal = jnp.where(closer[..., None], bnormal, normal)
+        ground_idx = jnp.where(closer, -2, ground_idx)
+
+        # other cars' hitboxes (alive only, not self)
+        box_center = cars.pos + m.rotate(cars.rot, jnp.asarray(
+            cfg.hitbox_offset, jnp.float32))                  # (C, 3)
+        he_box = jnp.asarray(cfg.hitbox_size, jnp.float32) / 2.0
+        ohit, ot, onorm = _ray_obb(
+            hard_point[:, :, None, :], dir_b[:, :, None, :],
+            max_b[:, :, None], box_center[None, None, :, :],
+            cars.rot[None, None, :, :, :], he_box)            # (C, 4, C)
+        not_self = ~jnp.eye(C_cars, dtype=bool)[:, None, :]
+        ok = ohit & not_self
+        if alive is not None:
+            ok &= alive[None, None, :]
+        ot = jnp.where(ok, ot, jnp.inf)
+        j = jnp.argmin(ot, axis=-1)                           # (C, 4)
+        ct = jnp.take_along_axis(ot, j[..., None], axis=-1)[..., 0]
+        chit = jnp.isfinite(ct)
+        cn = jnp.take_along_axis(onorm, j[..., None, None], axis=2)[..., 0, :]
+        closer = chit & (ct < dist)
+        hit = hit | closer
+        dist = jnp.where(closer, ct, dist)
+        normal = jnp.where(closer[..., None], cn, normal)
+        ground_idx = jnp.where(closer, j.astype(jnp.int32), ground_idx)
+
     contact_point = hard_point + wheel_dir * dist[..., None]
     # wheelTraceLen = (hardPoint - contactPoint) . up  (btVehicleRL.cpp:154)
     trace_len = m.dot(hard_point - contact_point, up[:, None, :])
@@ -148,7 +232,9 @@ def wheel_raycasts(cars: CarsState, cfg: CarConfig, mut: MutatorConfig,
     # the no-travel rest distance -> hard contact impulse.
     push_thresh = rest_len + radii - sus_sub_uu
     delta = (trace_len - push_thresh) * C.UU_TO_BT  # negative = penetration
-    needs_push = hit & (trace_len < push_thresh)
+    # extra pushback is computed ONLY against static objects
+    # (btVehicleRL.cpp:184: "if (object->isStaticObject())")
+    needs_push = in_world & (trace_len < push_thresh)
     # resolveSingleCollision vs static: impulse along normal.  Restitution
     # is hard-coded ZERO there ("no friction and no restitution",
     # btContactConstraint.cpp:59,82) regardless of body materials.
@@ -166,11 +252,13 @@ def wheel_raycasts(cars: CarsState, cfg: CarConfig, mut: MutatorConfig,
 
     normal = jnp.where(hit[..., None], normal, -wheel_dir)
     return WheelRaycast(
-        is_in_contact=hit, in_world_contact=hit,
+        is_in_contact=hit, in_world_contact=in_world,
         contact_point=contact_point, contact_normal=normal,
         susp_length=susp_len, susp_rel_vel=susp_rel_vel,
         clipped_inv_dot=clipped_inv, extra_pushback=extra_pushback,
-        hard_point=hard_point)
+        hard_point=hard_point,
+        ground_idx=jnp.where(hit, ground_idx,
+                             jnp.full(hit.shape, -1, jnp.int32)))
 
 
 # ---------------------------------------------------------------------------
@@ -178,9 +266,20 @@ def wheel_raycasts(cars: CarsState, cfg: CarConfig, mut: MutatorConfig,
 
 def calc_friction_impulses(cars: CarsState, rc: WheelRaycast,
                            wc: WheelControlsState, mut: MutatorConfig,
-                           dt: float, inv_inertia_ws) -> jnp.ndarray:
+                           dt: float, inv_inertia_ws,
+                           ball=None) -> jnp.ndarray:
     """Returns wheel impulse vectors (C, 4, 3) in BT units (pre-dt-scaling,
-    matching wheel.m_impulse)."""
+    matching wheel.m_impulse).
+
+    With ``ball`` given, wheels whose ray hit a dynamic ground object
+    (rc.ground_idx: -2 ball, >=0 other car) use that object's velocity in
+    the relative-velocity terms and its mass/inertia in the bilateral
+    jacobian, like the reference's resolveSingleBilateral against a
+    dynamic groundObject (btVehicleRL.cpp:321-387).  The rolling-friction
+    branch keeps the reference's quirk of evaluating the ground object's
+    point velocity at the CAR-relative contact offset
+    (btVehicleRL.cpp:352-356).
+    """
     friction_scale = mut.car_mass / 3.0
 
     up = cars.up[:, None, :]
@@ -205,18 +304,58 @@ def calc_friction_impulses(cars: CarsState, rc: WheelRaycast,
     vel_at = cars.vel[:, None, :] * C.UU_TO_BT + jnp.cross(
         jnp.broadcast_to(cars.ang_vel[:, None, :], rel.shape), rel)
 
-    # Side impulse (bullet resolveSingleBilateral vs static ground)
-    rel_vel_side = m.dot(vel_at, axle)
+    # Dynamic ground object state (zeros / no-ops for static hits)
+    if ball is not None:
+        gi = rc.ground_idx
+        is_ball = gi == -2
+        is_car = gi >= 0
+        dyn = is_ball | is_car
+        gidx = jnp.maximum(gi, 0)
+        gb = is_ball[..., None]
+        g_vel = jnp.where(gb, ball.vel, cars.vel[gidx])       # (C,4,3) uu
+        g_ang = jnp.where(gb, ball.ang_vel, cars.ang_vel[gidx])
+        g_pos = jnp.where(gb, ball.pos, cars.pos[gidx])
+        i_ball = 0.4 * mut.ball_mass * (mut.ball_radius * C.UU_TO_BT) ** 2
+        g_inv_iw = jnp.where(
+            is_ball[..., None, None], jnp.eye(3) / i_ball,
+            inv_inertia_ws[gidx])                             # (C,4,3,3)
+        g_inv_mass = jnp.where(
+            dyn, jnp.where(is_ball, 1.0 / mut.ball_mass,
+                           1.0 / mut.car_mass), 0.0)          # (C,4)
+        r_b = (rc.contact_point - g_pos) * C.UU_TO_BT
+        v2_at = jnp.where(
+            dyn[..., None],
+            g_vel * C.UU_TO_BT + jnp.cross(g_ang, r_b), 0.0)
+        # reference quirk: rolling friction samples the ground object's
+        # point velocity at the CAR-relative offset
+        v2_quirk = jnp.where(
+            dyn[..., None],
+            g_vel * C.UU_TO_BT + jnp.cross(g_ang, rel), 0.0)
+    else:
+        v2_at = v2_quirk = 0.0
+        g_inv_mass = 0.0
+        g_inv_iw = None
+        r_b = None
+
+    # Side impulse (bullet resolveSingleBilateral; both bodies' terms when
+    # the ground object is dynamic)
+    rel_vel_side = m.dot(vel_at - v2_at, axle)
     r_cross_n = jnp.cross(rel, axle)
     ang_term = m.dot(
         jnp.cross(jnp.einsum('cij,cwj->cwi', inv_inertia_ws, r_cross_n), rel),
         axle)
-    jac_diag = (1.0 / mut.car_mass) + ang_term
+    jac_diag = (1.0 / mut.car_mass) + ang_term + g_inv_mass
+    if g_inv_iw is not None:
+        rb_cross = jnp.cross(r_b, axle)
+        g_ang_term = m.dot(
+            jnp.cross(jnp.einsum('cwij,cwj->cwi', g_inv_iw, rb_cross), r_b),
+            axle)
+        jac_diag = jac_diag + jnp.where(dyn, g_ang_term, 0.0)
     side_impulse = -C.SIDE_FRICTION_CONTACT_DAMPING * rel_vel_side / (
         jnp.maximum(jac_diag, 1e-9))
 
     # Rolling friction
-    rel_vel_fwd = m.dot(vel_at, fwd_dir)
+    rel_vel_fwd = m.dot(vel_at - v2_quirk, fwd_dir)
     brake = wc.brake[:, None]
     engine = wc.engine_force[:, None]
     # (dt <= 1/80 in training, so the sub-80tps rounding branch is skipped;

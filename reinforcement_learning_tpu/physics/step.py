@@ -76,6 +76,11 @@ class ArenaParams:
     # 16 BVH meshes + 4 static planes, Arena.cpp:1020-1100).  False falls
     # back to the analytic-plane arena (faster; sharp corners/ramps).
     use_mesh: bool = True
+    # Wheel suspension rays also hit the ball and other cars (the
+    # reference's suspension-grid dynamic-object overlay,
+    # Arena.cpp:733-750) so cars can drive on the ball / other roofs.
+    # The pallas megakernel path disables this (like use_mesh).
+    dynamic_wheel_rays: bool = True
 
     def __post_init__(self):
         if self.mutators is None:
@@ -209,11 +214,16 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     # updates it once per step too).
     inv_iw = carmod.inv_inertia_world(cars.rot, inv_i_local)
 
-    # --- updateVehicleFirst: raycasts + stale friction impulses
+    # --- updateVehicleFirst: raycasts + stale friction impulses.
+    # Rays also hit the ball and other (alive) cars — the reference's
+    # suspension-grid dynamic-object overlay (Arena.cpp:733-750), so a car
+    # can drive on the ball or on another car's roof.
+    ray_ball = ball if params.dynamic_wheel_rays else None
     rc = carmod.wheel_raycasts(cars, cfg, mut, dt, inv_iw,
-                               params.game_mode, grid=grid)
+                               params.game_mode, grid=grid, ball=ray_ball,
+                               alive=alive)
     wheel_impulses = carmod.calc_friction_impulses(cars, rc, wc, mut, dt,
-                                                   inv_iw)
+                                                   inv_iw, ball=ray_ball)
 
     num_contact = jnp.sum(rc.is_in_contact, axis=1)
     cars = cars.replace(wheels_with_contact=rc.is_in_contact,

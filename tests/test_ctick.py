@@ -19,7 +19,8 @@ TEAMS = jnp.array([0, 0, 1, 1])
 
 
 def _params():
-    return stepmod.ArenaParams(num_cars=CARS, use_mesh=False)
+    return stepmod.ArenaParams(num_cars=CARS, use_mesh=False,
+                              dynamic_wheel_rays=False)
 
 
 def _random_phys(key, params, airborne=False):

@@ -2,18 +2,29 @@
 against the XLA backend over a few steps."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from reinforcement_learning_tpu.envs.env import EnvConfig, RocketLeagueEnv
+
+# See test_pallas_step.py: interpret-mode megakernel runs are
+# minutes-per-test on CPU; TPU runs them compiled, always.
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "cpu"
+    and not os.environ.get("RLT_PALLAS_TESTS"),
+    reason="interpret-mode pallas parity: set RLT_PALLAS_TESTS=1 or run "
+           "on TPU")
 
 
 def test_env_pallas_backend_matches_xla():
     from reinforcement_learning_tpu.physics import step as stepmod
     # compare against the analytic-plane arena (what the megakernel models)
-    arena = stepmod.ArenaParams(num_cars=2, use_mesh=False)
+    arena = stepmod.ArenaParams(num_cars=2, use_mesh=False,
+                                dynamic_wheel_rays=False)
     cfg_x = EnvConfig(num_envs=4, team_size=1, physics_backend="xla",
                       arena=arena)
     cfg_p = dataclasses.replace(cfg_x, physics_backend="pallas")

@@ -187,3 +187,63 @@ def test_goal_detection():
     phys = phys.replace(arena=phys.arena.replace(ball=ball))
     phys, _ = rollout(phys)
     assert bool(phys.arena.goal_scored)
+
+
+def test_wheel_rays_hit_dynamic_objects():
+    """Suspension rays hit the ball and other cars (the reference's
+    suspension-grid dynamic-object overlay, Arena.cpp:733-750): a car
+    dropped onto the resting ball ends up on_ground with all four wheels
+    in (non-world) contact, and wheels over another car's roof report
+    that car's index."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from reinforcement_learning_tpu import constants as C
+    from reinforcement_learning_tpu.physics import car as carmod
+    from reinforcement_learning_tpu.physics import step as stepmod
+
+    params = stepmod.ArenaParams(num_cars=2, use_mesh=False)
+    phys = stepmod.make_physics_state(params)
+    f = lambda v: jnp.asarray(v, jnp.float32)
+    ball_top = 93.15 + 91.25
+    cars = phys.arena.cars.replace(
+        pos=f([[0.0, 0.0, ball_top + 40.0], [2000.0, 2000.0, 17.01]]))
+    ball = phys.arena.ball.replace(pos=f([0.0, 0.0, 93.15]))
+    phys = phys.replace(arena=phys.arena.replace(cars=cars, ball=ball))
+    teams = jnp.asarray([0, 1], jnp.int32)
+    tick = jax.jit(lambda p: stepmod.arena_tick(
+        p, teams, jax.random.PRNGKey(0), params))
+    for _ in range(90):
+        phys = tick(phys)
+    a = jax.device_get(phys.arena)
+    assert bool(a.cars.is_on_ground[0])
+    assert a.cars.pos[0, 2] > 150.0  # still up on the ball
+
+    cfg = params.car_config
+    inv_iw = carmod.inv_inertia_world(
+        phys.arena.cars.rot,
+        carmod.box_inv_inertia_local(params.mutators.car_mass,
+                                     cfg.hitbox_size))
+    rc = carmod.wheel_raycasts(
+        phys.arena.cars, cfg, params.mutators, params.dt, inv_iw,
+        "soccar", grid=None, ball=phys.arena.ball,
+        alive=jnp.array([True, True]))
+    assert np.all(np.asarray(rc.ground_idx[0]) == -2)
+    assert not np.any(np.asarray(rc.in_world_contact[0]))
+    assert np.all(np.asarray(rc.ground_idx[1]) == -1)
+
+    # car 0 hovering over car 1's roof: rays report car index 1
+    roof_z = 17.01 + 36.16 + 12.0
+    cars2 = phys.arena.cars.replace(
+        pos=f([[2000.0, 2000.0, roof_z], [2000.0, 2000.0, 17.01]]))
+    rc2 = carmod.wheel_raycasts(
+        cars2, cfg, params.mutators, params.dt, inv_iw, "soccar",
+        grid=None, ball=phys.arena.ball.replace(pos=f([0.0, 0.0, 93.15])),
+        alive=jnp.array([True, True]))
+    assert np.all(np.asarray(rc2.ground_idx[0]) == 1)
+    # demoed target car is transparent to the rays
+    rc3 = carmod.wheel_raycasts(
+        cars2, cfg, params.mutators, params.dt, inv_iw, "soccar",
+        grid=None, ball=phys.arena.ball.replace(pos=f([0.0, 0.0, 93.15])),
+        alive=jnp.array([True, False]))
+    assert np.all(np.asarray(rc3.ground_idx[0]) == -1)

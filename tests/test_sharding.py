@@ -62,3 +62,32 @@ def test_sharded_env_state_placement(trainer):
     # params replicated
     leaf = jax.tree.leaves(state.ppo.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_host_mesh_2d_matches_unsharded(trainer):
+    """BASELINE #4 logic on a 2-D (host, env) mesh: leading env axis
+    sharded over both axes; params must match the unsharded run (the DCN
+    psum composes with the ICI psum into the same reduction)."""
+    state0 = trainer.init(jax.random.PRNGKey(2))
+    state_a, _ = trainer.train_iteration(state0)
+
+    mesh = meshmod.make_host_mesh(n_hosts=2, devices_per_host=4)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == (meshmod.HOST_AXIS, meshmod.ENV_AXIS)
+    state_sharded = meshmod.shard_train_state(
+        trainer.init(jax.random.PRNGKey(2)), mesh)
+    state_b, _ = trainer.train_iteration(state_sharded)
+
+    for a, b in zip(jax.tree.leaves(state_a.ppo.params),
+                    jax.tree.leaves(state_b.ppo.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_initialize_distributed_noop_single_process(monkeypatch):
+    """Without a coordinator configured the entry point is a no-op and
+    single-process code paths continue to work."""
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert meshmod.initialize_distributed() is False

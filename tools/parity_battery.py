@@ -93,6 +93,11 @@ def scenarios(T):
     out["car_wall_ride"] = S([C(pos=(3300, 0, 17.01), vel=(1300, 0, 0),
                                 boost=100)],
                              ctrl(T, throttle=1), **far_ball)
+    # car dropped onto the resting ball: wheel rays must hit the ball
+    # (suspension-grid dynamic overlay) so the car can balance on it
+    out["car_on_ball"] = S([C(pos=(0.0, 0.0, 93.15 + 91.25 + 40.0),
+                              is_on_ground=False)],
+                           ctrl(T), ball_pos=(0.0, 0.0, 93.15))
     # two cars: bump course
     out["car_bump"] = S([C(vel=(1600, 0, 0)),
                          C(team=1, pos=(500, 0, 17.01),
