@@ -115,7 +115,13 @@ def main():
                                    / base_per_dev)
     out = {"harness": "virtual-cpu-mesh",
            "note": ("weak scaling: envs per device fixed; efficiency = "
-                    "per-device throughput vs the 1-device run"),
+                    "per-device throughput vs the 1-device run.  On a "
+                    f"{os.cpu_count()}-core host, virtual-device counts "
+                    "beyond the physical cores measure CPU "
+                    "oversubscription, not interconnect scaling — "
+                    "efficiency numbers are meaningful on real "
+                    "multi-chip hardware (same command)"),
+           "host_cpus": os.cpu_count(),
            "results": results}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
