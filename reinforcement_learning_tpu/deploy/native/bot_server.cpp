@@ -37,6 +37,7 @@
 #include <arpa/inet.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
+#include <poll.h>
 #include <sys/socket.h>
 #include <unistd.h>
 
@@ -409,12 +410,40 @@ void handle_command(Server& srv, const std::string& text) {
   }
 }
 
-void handle_packet_stream(Server& srv, int fd, uint32_t first_magic) {
+// Service pending command connections while a packet stream is active.
+// The reference BotManager accepts bot add/remove concurrently with the
+// game stream (RLBotCPP/src/botmanager.cc); here a single thread polls the
+// listen socket between packet frames instead.  Returns false on "quit".
+bool drain_command_connections(Server& srv, int lsock) {
+  for (;;) {
+    pollfd p{lsock, POLLIN, 0};
+    if (::poll(&p, 1, 0) <= 0 || !(p.revents & POLLIN)) return true;
+    const int cfd = ::accept(lsock, nullptr, nullptr);
+    if (cfd < 0) return true;
+    std::string text;
+    char buf[512];
+    for (;;) {
+      const ssize_t r = ::read(cfd, buf, sizeof buf);
+      if (r <= 0) break;
+      text.append(buf, (size_t)r);
+    }
+    ::close(cfd);
+    if (text.rfind("quit", 0) == 0) return false;
+    // A second packet stream while one is active is not supported; only
+    // text commands are serviced here.
+    if (text.size() >= 4 && memcmp(text.data(), &kPacketMagic, 4) != 0)
+      handle_command(srv, text);
+  }
+}
+
+// Returns false when the server should shut down ("quit" command).
+bool handle_packet_stream(Server& srv, int fd, uint32_t first_magic,
+                          int lsock) {
   uint32_t magic = first_magic;
   for (;;) {
-    if (magic != kPacketMagic) return;
+    if (magic != kPacketMagic) return true;
     GamePacket pkt;
-    if (!read_packet(fd, pkt)) return;
+    if (!read_packet(fd, pkt)) return true;
     for (auto& [index, bot] : srv.bots) srv.step_bot(index, bot, pkt);
     // reply: magic, count, per bot: index + 8 controls
     std::vector<uint8_t> out;
@@ -428,8 +457,11 @@ void handle_packet_stream(Server& srv, int fd, uint32_t first_magic) {
       out.insert(out.end(), (uint8_t*)bot.controls.data(),
                  (uint8_t*)bot.controls.data() + 8 * sizeof(float));
     }
-    if (!write_exact(fd, out.data(), out.size())) return;
-    if (!read_exact(fd, &magic, 4)) return;
+    if (!write_exact(fd, out.data(), out.size())) return true;
+    // Between frames, service mid-match add/remove command connections so
+    // they don't stall in the listen backlog until the stream closes.
+    if (!drain_command_connections(srv, lsock)) return false;
+    if (!read_exact(fd, &magic, 4)) return true;
   }
 }
 
@@ -505,7 +537,11 @@ int main(int argc, char** argv) {
       continue;
     }
     if (magic == kPacketMagic) {
-      handle_packet_stream(srv, fd, magic);
+      const bool keep = handle_packet_stream(srv, fd, magic, lsock);
+      if (!keep) {
+        ::close(fd);
+        break;
+      }
     } else {
       // text command: magic holds the first 4 bytes already
       std::string text((char*)&magic, 4);

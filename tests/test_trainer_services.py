@@ -206,6 +206,8 @@ def test_skill_tracker_continuation():
     states_before = tracker.env_states
     prev_idx, prev_team = tracker.prev_old_idx, tracker.prev_new_team
     bank, rating, info = tracker.run_matches(params, bank, rng)
-    # the second run must have continued from the SAME choices
-    assert tracker.prev_old_idx == prev_idx if tracker.continuation else True
-    assert tracker.prev_sim_time > 0 or not tracker.continuation
+    # the second run must still be a continuation (0.2s more of kickoff
+    # play cannot reach 2 goals) and must have kept the SAME choices
+    assert tracker.continuation
+    assert tracker.prev_old_idx == prev_idx
+    assert tracker.prev_sim_time > 0

@@ -210,8 +210,12 @@ def _build_torch_sequential(params: dict, activation: str = "relu"):
 
 def _sequential_to_params(module) -> dict:
     """torch.jit-loaded Sequential -> our MLP params dict.  Linear weights
-    are 2-D, LayerNorm weights 1-D; a trailing Linear with no LayerNorm
-    after it is the output layer (addOutputLayer, Models.cpp:25-28)."""
+    are 2-D, LayerNorm weights 1-D.  The output layer (addOutputLayer,
+    Models.cpp:25-28) is detected STRUCTURALLY: every hidden Linear is
+    followed by an activation module in the Sequential, so a Linear that is
+    the sequence's final module is the output layer.  (Inferring from
+    LayerNorm presence would misfile the last hidden Linear of a model
+    built with addLayerNorm=false and addOutputLayer=false.)"""
     entries = []  # (kind, {w,b})
     sd = module.state_dict()
     by_idx: dict[int, dict] = {}
@@ -222,6 +226,15 @@ def _sequential_to_params(module) -> dict:
     for idx in sorted(by_idx):
         e = by_idx[idx]
         entries.append(("linear" if e["weight"].ndim == 2 else "ln", e))
+
+    # Index of the last module in the Sequential (activations included —
+    # they are children even though they carry no parameters).
+    last_module_idx = max(
+        (int(name) for name, _ in module.named_children()
+         if name.isdigit()), default=-1)
+    last_param_idx = max(by_idx) if by_idx else -1
+    has_output_layer = (last_module_idx == last_param_idx
+                        and len(entries) > 1 and entries[-1][0] == "linear")
 
     layers, out = [], None
     i = 0
@@ -235,8 +248,7 @@ def _sequential_to_params(module) -> dict:
             i += 1
         i += 1
         layers.append(layer)
-    # trailing Linear without LN => output layer
-    if "ln_scale" not in layers[-1] and len(layers) > 1:
+    if has_output_layer:
         out = layers.pop()
     params = {"layers": layers}
     if out is not None:
