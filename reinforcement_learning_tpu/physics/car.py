@@ -158,15 +158,17 @@ def wheel_raycasts(cars: CarsState, cfg: CarConfig, mut: MutatorConfig,
     if grid is not None:
         # the reference raycasts against the whole static world (meshes +
         # planes, btVehicleRL.cpp:118-212): closest hit wins
+        from reinforcement_learning_tpu.physics.contacts import \
+            MESH_COMPACT_K_RAY
         mhit, mdist, mnormal = grid.raycast(
             hard_point, jnp.broadcast_to(wheel_dir, hard_point.shape),
-            jnp.broadcast_to(ray_len[None, :], hit.shape))
+            jnp.broadcast_to(ray_len[None, :], hit.shape),
+            k_compact=MESH_COMPACT_K_RAY)
         closer = mhit & (mdist < dist)
         hit = hit | mhit
         dist = jnp.where(closer, mdist, dist)
         normal = jnp.where(closer[..., None], mnormal, normal)
 
-    in_world = hit
     ground_idx = jnp.full(hit.shape, -1, jnp.int32)
 
     # --- dynamic objects (Arena.cpp:733-750: the suspension grid gets a
@@ -209,6 +211,13 @@ def wheel_raycasts(cars: CarsState, cfg: CarConfig, mut: MutatorConfig,
         dist = jnp.where(closer, ct, dist)
         normal = jnp.where(closer[..., None], cn, normal)
         ground_idx = jnp.where(closer, j.astype(jnp.int32), ground_idx)
+
+    # World contact comes from the single NEAREST hit: when a dynamic
+    # object (ball/car) is closer than static geometry, the wheel is NOT
+    # in world contact — the reference sets m_isInContactWithWorld =
+    # object->isStaticObject() for the nearest hit (btVehicleRL.cpp:151)
+    # and gates sticky forces + extra pushback on it.
+    in_world = hit & (ground_idx == -1)
 
     contact_point = hard_point + wheel_dir * dist[..., None]
     # wheelTraceLen = (hardPoint - contactPoint) . up  (btVehicleRL.cpp:154)

@@ -122,10 +122,12 @@ def pgs_rows_vs_static(vel_bt, ang_vel, r_bt, n, active, inv_mass, inv_iw,
         return arr[..., i, :]
 
     # --- velocity PGS ---
-    dv, dw = zero3, zero3
-    j_n = zeroR
-    j_t = zeroR
-    for _ in range(iterations):
+    # One fori_loop per PGS (body = the unrolled Gauss-Seidel row sweep):
+    # a fully unrolled 10x(2R) solve chain compiles pathologically slowly
+    # on XLA (~90s for R=8); the loop form is ~10x smaller with identical
+    # iteration order.
+    def _vel_iter(_, carry):
+        dv, dw, j_n, j_t = carry
         for i in range(R):
             ni, ri = _row(i, n), _row(i, r_bt)
             rel = m.dot(ni, (vel_bt + dv) + jnp.cross(ang_vel + dw, ri))
@@ -151,11 +153,14 @@ def pgs_rows_vs_static(vel_bt, ang_vel, r_bt, n, active, inv_mass, inv_iw,
             dw = dw + jnp.einsum('...ij,...j->...i', inv_iw,
                                  jnp.cross(ri, imp))
             j_t = j_t.at[..., i].add(dj)
+        return dv, dw, j_n, j_t
+
+    dv, dw, j_n, _ = jax.lax.fori_loop(
+        0, iterations, _vel_iter, (zero3, zero3, zeroR, zeroR))
 
     # --- split-impulse positional PGS (same jacobians, push target) ---
-    pv, pw = zero3, zero3
-    j_p = zeroR
-    for _ in range(iterations):
+    def _pos_iter(_, carry):
+        pv, pw, j_p = carry
         for i in range(R):
             ni, ri = _row(i, n), _row(i, r_bt)
             rel = m.dot(ni, pv + jnp.cross(pw, ri))
@@ -167,6 +172,10 @@ def pgs_rows_vs_static(vel_bt, ang_vel, r_bt, n, active, inv_mass, inv_iw,
             pw = pw + jnp.einsum('...ij,...j->...i', inv_iw,
                                  jnp.cross(ri, imp))
             j_p = j_p.at[..., i].add(dj)
+        return pv, pw, j_p
+
+    pv, pw, _ = jax.lax.fori_loop(
+        0, iterations, _pos_iter, (zero3, zero3, zeroR))
 
     push = pv * dt
     turn = pw * (C.SPLIT_IMPULSE_TURN_ERP * dt)
@@ -228,11 +237,8 @@ def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
         return (imp * inv_mass,
                 jnp.einsum('...ij,...j->...i', iw, jnp.cross(r_bt, imp)))
 
-    dv = jnp.zeros_like(vel_at)
-    dw = jnp.zeros_like(vel_at)
-    j_n = jnp.zeros_like(rel_vel)
-    j_t = jnp.zeros_like(rel_vel)
-    for _ in range(iterations):
+    def _iter(_, carry):
+        dv, dw, j_n, j_t = carry
         # Normal row
         v_at = (vel_bt + dv) + jnp.cross(ang_vel + dw, r_bt)
         dj = (rest - m.dot(n, v_at)) / denom
@@ -245,7 +251,15 @@ def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
         lim = friction_coeff * j_n
         new_t = jnp.clip(j_t + djt, -lim, lim)
         ddv, ddw = _apply(t_dir * (new_t - j_t)[..., None])
-        dv, dw, j_t = dv + ddv, dw + ddw, new_t
+        return dv + ddv, dw + ddw, j_n, new_t
+
+    zero3 = jnp.zeros_like(vel_at)
+    zeroR = jnp.zeros_like(rel_vel)
+    if iterations == 1:
+        dv, dw, j_n, _ = _iter(0, (zero3, zero3, zeroR, zeroR))
+    else:
+        dv, dw, j_n, _ = jax.lax.fori_loop(
+            0, iterations, _iter, (zero3, zero3, zeroR, zeroR))
     return dv, dw, j_n
 
 
@@ -302,13 +316,26 @@ def resolve_ball_world(ball: BallState, mut: MutatorConfig,
         # merged into the same special average.  |rel_pos| on the ball is
         # exactly the radius for every sphere contact (pointOnA = center
         # - n*radius), so the support column extends unchanged.
-        from reinforcement_learning_tpu.physics.mesh import \
-            _closest_point_triangle
+        # The sphere narrowphase (closest point per candidate) runs on the
+        # full padded cell list — it is cheap and IS the active predicate —
+        # then the candidate set is compacted to the first
+        # MESH_COMPACT_K_BALL actives in BVH order, so the sequential
+        # manifold-retention scan and the internal-edge adjustment run on
+        # a short list instead of the padded width.
+        from reinforcement_learning_tpu.physics.mesh import (
+            _closest_point_triangle, compact_sel)
         idx = grid.candidates(ball.pos)
         a, ab, ac, tri_n = grid._gather(idx)
         cp = _closest_point_triangle(ball.pos[None, :], a, ab, ac)
         delta = ball.pos[None, :] - cp
         dist_c = m.norm(delta)
+        near = (idx >= 0) & (dist_c < mut.ball_radius + break_gap + 0.25)
+        selk, ok = compact_sel(near, MESH_COMPACT_K_BALL)
+        idx = jnp.where(ok, jnp.take_along_axis(idx, selk, -1), -1)
+        cp = jnp.take_along_axis(cp, selk[..., None], -2)
+        delta = jnp.take_along_axis(delta, selk[..., None], -2)
+        dist_c = jnp.take_along_axis(dist_c, selk, -1)
+        tri_n = jnp.take_along_axis(tri_n, selk[..., None], -2)
         side = jnp.sign(jnp.sum(delta * tri_n, axis=-1, keepdims=True))
         side = jnp.where(side == 0, 1.0, side)
         n_mesh = jnp.where(dist_c[:, None] > 1e-6,
@@ -321,12 +348,16 @@ def resolve_ball_world(ball: BallState, mut: MutatorConfig,
         # contact-added callback adjusts the normal
         slot = manifold_insert(-n_mesh * mut.ball_radius, gap_mesh,
                                act_mesh)                    # (4,)
-        # internal-edge normal adjustment (arena contact callback)
-        n_mesh, _ = grid.adjust_internal_edges(idx, n_mesh, cp, gap_mesh)
+        # select the 4 retained slots FIRST, then run the internal-edge
+        # normal adjustment (arena contact callback) on just those —
+        # elementwise per contact, so adjust-after-select is identical to
+        # the reference's adjust-per-manifold-point
         sel = jnp.maximum(slot, 0)
-        n_mesh = n_mesh[sel]
-        gap_mesh = gap_mesh[sel]
         act_mesh = slot >= 0
+        idx4 = jnp.where(act_mesh, idx[sel], 0)
+        n_mesh, _ = grid.adjust_internal_edges(idx4, n_mesh[sel], cp[sel],
+                                               gap_mesh[sel])
+        gap_mesh = gap_mesh[sel]
         normals = jnp.concatenate([normals, n_mesh], axis=0)
         gap = jnp.concatenate([gap, gap_mesh], axis=0)
         active = jnp.concatenate([active, act_mesh], axis=0)
@@ -504,6 +535,16 @@ def resolve_car_world(cars: CarsState, half_extents, hitbox_offset,
 
 MAX_MESH_CONTACTS = 4  # btPersistentManifold MANIFOLD_CACHE_SIZE
 
+# Compacted-candidate widths for the mesh narrowphase.  Cheap prefilters
+# bound how many triangles can be in contact range of one body; these
+# widths are validated by arena-sweep tests (tests/test_mesh.py) — at the
+# procedural mesh's tessellation the observed maxima (worst: the
+# goal-mouth seam, 14 simultaneous ball actives; the corner floor
+# fillets, ~26 near-candidates for a car) stay under these caps.
+MESH_COMPACT_K_BALL = 32
+MESH_COMPACT_K_CAR = 24
+MESH_COMPACT_K_RAY = 12
+
 
 def manifold_insert(local_a, dist, active):
     """Simulate btPersistentManifold point retention for one tick.
@@ -528,8 +569,10 @@ def manifold_insert(local_a, dist, active):
     K = dist.shape[-1]
     batch = dist.shape[:-1]
     f32 = local_a.dtype
-    # scan over candidates: K sequential steps of tiny vector math (an
-    # unrolled loop makes the traced tick graph explode)
+    # scan over candidates: K sequential steps of tiny vector math.  With
+    # compacted candidates (K <= ~16) the scan is fully unrolled — the
+    # sequential chain is short and XLA fuses the steps; at large K the
+    # rolled loop keeps the traced graph bounded.
     la_seq = jnp.moveaxis(local_a, -2, 0)                  # (K, ..., 3)
     d_seq = jnp.moveaxis(dist, -1, 0)                      # (K, ...)
     act_seq = jnp.moveaxis(active, -1, 0)
@@ -571,7 +614,8 @@ def manifold_insert(local_a, dist, active):
             jnp.zeros(batch + (4,), f32),
             jnp.zeros(batch + (4,), bool))
     (slot_cand, _, _, _), _ = jax.lax.scan(
-        step, init, (jnp.arange(K, dtype=jnp.int32), la_seq, d_seq, act_seq))
+        step, init, (jnp.arange(K, dtype=jnp.int32), la_seq, d_seq, act_seq),
+        unroll=K <= 32)
     return slot_cand
 
 
@@ -603,13 +647,6 @@ def resolve_car_world_mesh(cars: CarsState, half_extents, hitbox_offset,
     safe_margin = min(C.MESH_COLLISION_MARGIN,
                       0.1 * float(np.min(np.asarray(half_extents))))
 
-    # --- mesh contacts: one per candidate triangle, capped at 4
-    idx = grid.candidates(box_center)                       # (C, K)
-    a, ab, ac, _ = grid._gather(idx)
-    n_k, pt_k, dist_k = box_tri.box_triangle_contact(
-        box_center[:, None, :], cars.rot[:, None], he,
-        C.MESH_COLLISION_MARGIN, safe_margin,
-        a, a + ab, a + ac)                                  # (C,K,·)
     # Pair contact-breaking threshold = 0.02 * compound angular motion
     # disc = 0.02 * (|he| + |off|); the box AABB already contains the
     # margin (btBoxShape ctor), so no margin term here
@@ -617,6 +654,33 @@ def resolve_car_world_mesh(cars: CarsState, half_extents, hitbox_offset,
     brk = C.CONTACT_BREAK_FRAC * (
         float(np.linalg.norm(np.asarray(half_extents)))
         + float(np.linalg.norm(np.asarray(hitbox_offset, np.float32))))
+
+    # --- mesh contacts: one per candidate triangle, capped at 4.
+    # Two-stage narrowphase: a cheap prune over the padded cell list
+    # (bounding-sphere distance to the triangle + box-to-plane gap, both
+    # of which lower-bound the exact core distance, so pruning is
+    # conservative), then candidate compaction to MESH_COMPACT_K_CAR in
+    # BVH order, then the exact 47-feature-pair test on only those.
+    from reinforcement_learning_tpu.physics.mesh import (
+        _closest_point_triangle, compact_sel)
+    idx = grid.candidates(box_center)                       # (C, K)
+    a, ab, ac, tri_n = grid._gather(idx)
+    cut = brk + safe_margin + 0.5
+    cp0 = _closest_point_triangle(box_center[:, None, :], a, ab, ac)
+    d0 = m.norm(box_center[:, None, :] - cp0)
+    sphere_ok = d0 - float(np.linalg.norm(np.asarray(half_extents))) <= cut
+    plane_dist = jnp.abs(jnp.sum((box_center[:, None, :] - a) * tri_n, -1))
+    proj = jnp.einsum('cki,cij->ckj', tri_n, cars.rot)
+    r_eff = jnp.sum(jnp.abs(proj) * he, axis=-1)
+    plane_ok = plane_dist - r_eff <= cut
+    near = (idx >= 0) & sphere_ok & plane_ok
+    selk, ok = compact_sel(near, MESH_COMPACT_K_CAR)
+    idx = jnp.where(ok, jnp.take_along_axis(idx, selk, -1), -1)  # (C, Kc)
+    a, ab, ac, _ = grid._gather(idx)
+    n_k, pt_k, dist_k = box_tri.box_triangle_contact(
+        box_center[:, None, :], cars.rot[:, None], he,
+        C.MESH_COLLISION_MARGIN, safe_margin,
+        a, a + ab, a + ac)                                  # (C,Kc,·)
     act_k = (idx >= 0) & (dist_k < brk)
     # bullet's 4-slot manifold retention over BVH-ordered candidates;
     # localPointA is set BEFORE the contact-added callback, so retention
@@ -624,15 +688,19 @@ def resolve_car_world_mesh(cars: CarsState, half_extents, hitbox_offset,
     pos_a_k = pt_k + n_k * dist_k[..., None]                # on the car
     local_a = pos_a_k - cars.pos[:, None, :]
     slot = manifold_insert(local_a, dist_k, act_k)          # (C, 4)
-    # internal-edge normal adjustment (arena contact callback)
-    n_adj, _ = grid.adjust_internal_edges(idx, n_k, pt_k, dist_k)
+    mesh_act = slot >= 0
     sel = jnp.maximum(slot, 0)
-    mesh_n = jnp.take_along_axis(n_adj, sel[..., None], axis=1)
+    # select the 4 retained slots, THEN run the internal-edge adjustment
+    # (arena contact callback) on just those — elementwise per contact,
+    # identical result to adjusting every candidate first
+    idx4 = jnp.where(mesh_act, jnp.take_along_axis(idx, sel, axis=1), 0)
+    n4 = jnp.take_along_axis(n_k, sel[..., None], axis=1)
+    pt4 = jnp.take_along_axis(pt_k, sel[..., None], axis=1)
+    mesh_dist = jnp.take_along_axis(dist_k, sel, axis=1)
+    mesh_n, _ = grid.adjust_internal_edges(idx4, n4, pt4, mesh_dist)
     # constraint lever arms use positionWorldOnA (unchanged by the
     # callback)
     mesh_pt = jnp.take_along_axis(pos_a_k, sel[..., None], axis=1)
-    mesh_dist = jnp.take_along_axis(dist_k, sel, axis=1)
-    mesh_act = slot >= 0
 
     # --- true-plane contacts: single support vertex per plane
     pn, pd = geom.get_planes(game_mode)
@@ -761,13 +829,8 @@ def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
     # (bullet runs 10; the rows couple through the angular terms).
     # Accumulators carry (j_n, j_t) with bullet's clamping rules:
     # restitution 0 (CARBALL_COLLISION_RESTITUTION), |j_t| <= mu * j_n.
-    dvb = jnp.zeros_like(v_ball)
-    dwb = jnp.zeros_like(v_ball)
-    dvc = jnp.zeros_like(v_car)
-    dwc = jnp.zeros_like(v_car)
-    jn_acc = jnp.zeros(n.shape[0])
-    jt_acc = jnp.zeros(n.shape[0])
-    for _ in range(10):
+    def _cb_iter(_, carry):
+        dvb, dwb, dvc, dwc, jn_acc, jt_acc = carry
         rv = m.dot(n, (v_ball + dvb + jnp.cross(dwb, r_ball))
                    - (v_car + dvc + jnp.cross(dwc, r_car)))
         djn = -rv / jnp.maximum(denom, 1e-12)
@@ -795,6 +858,13 @@ def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
         dvc = dvc - dimp * car_inv_mass
         dwc = dwc + jnp.einsum('cij,cj->ci', inv_iw_cars,
                                jnp.cross(r_car, -dimp))
+        return dvb, dwb, dvc, dwc, jn_acc, jt_acc
+
+    zero3 = jnp.zeros_like(v_ball)
+    zeroC = jnp.zeros(n.shape[0])
+    _, _, _, _, jn_acc, jt_acc = jax.lax.fori_loop(
+        0, 10, _cb_iter, (zero3, zero3, jnp.zeros_like(v_car),
+                          jnp.zeros_like(v_car), zeroC, zeroC))
 
     imp_total = n * jn_acc[:, None] + t_dir * jt_acc[:, None]
     j_n = jn_acc

@@ -558,6 +558,9 @@ class MeshGrid:
     cells: jnp.ndarray      # (Cx, Cy, Cz, K) int32, -1 padded
     origin: jnp.ndarray     # (3,)
     inv_cell: jnp.ndarray   # (3,)
+    # Raw per-triangle AABB (no margin), for cheap candidate prefilters
+    tri_mid: jnp.ndarray    # (T, 3) AABB center
+    tri_half: jnp.ndarray   # (T, 3) AABB half extents
     # internal-edge info (btTriangleInfoMap equivalent), per tri edge
     # (v[e], v[(e+1)%3]):
     edge_internal: jnp.ndarray  # (T, 3) bool
@@ -569,6 +572,7 @@ class MeshGrid:
     def tree_flatten(self):
         return ((self.tri_a, self.edge_ab, self.edge_ac, self.normal,
                  self.cells, self.origin, self.inv_cell,
+                 self.tri_mid, self.tri_half,
                  self.edge_internal, self.edge_angle, self.edge_nb,
                  self.edge_convex),
                 self.margin)
@@ -615,12 +619,16 @@ class MeshGrid:
         n = np.cross(b - a, c - a)
         n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
         e_int, e_ang, e_nb, e_cvx = build_edge_info(verts, tris)
+        raw_min = tri_min + margin  # undo the inflation: raw AABB
+        raw_max = tri_max - margin
         return cls(
             tri_a=jnp.asarray(a), edge_ab=jnp.asarray(b - a),
             edge_ac=jnp.asarray(c - a), normal=jnp.asarray(n),
             cells=jnp.asarray(cells), origin=jnp.asarray(lo, jnp.float32),
             inv_cell=jnp.asarray(1.0 / cell_size
                                  * np.ones(3), jnp.float32),
+            tri_mid=jnp.asarray((raw_min + raw_max) * 0.5, jnp.float32),
+            tri_half=jnp.asarray((raw_max - raw_min) * 0.5, jnp.float32),
             edge_internal=jnp.asarray(e_int), edge_angle=jnp.asarray(e_ang),
             edge_nb=jnp.asarray(e_nb), edge_convex=jnp.asarray(e_cvx),
             margin=float(margin))
@@ -637,6 +645,44 @@ class MeshGrid:
         safe = jnp.maximum(idx, 0)
         return (self.tri_a[safe], self.edge_ab[safe], self.edge_ac[safe],
                 self.normal[safe])
+
+    def compact_candidates(self, cell_pos: jnp.ndarray,
+                           aabb_mid: jnp.ndarray, reach, k_out: int
+                           ) -> jnp.ndarray:
+        """Candidate triangles whose raw AABB overlaps the query AABB
+        (``aabb_mid`` +- ``reach``), compacted to the FIRST ``k_out`` in
+        BVH order.
+
+        This is the structural fix for the K-padded narrowphase cost: the
+        cell gather returns up to K(~128) candidates, but only a handful
+        can be within contact range of any one body, so downstream exact
+        tests (47-feature-pair box narrowphase, the 4-slot manifold
+        retention scan) need only run on ``k_out``(8-16) compacted entries.
+        The AABB prefilter is conservative (a superset of every triangle
+        whose surface is within ``reach`` of the query AABB center-box),
+        so compaction preserves exact contact semantics as long as at most
+        ``k_out`` triangle AABBs overlap the query box —
+        tests/test_mesh.py sweeps the arena to bound this.  Candidate cell
+        lists are stored in BVH order and ``top_k`` keeps the first hits
+        by rank, so the output order (= bullet manifold insertion order)
+        is preserved.
+
+        cell_pos (..., 3): position for the cell lookup (must be within
+        ``margin`` of the whole query AABB).  aabb_mid (..., 3) / reach
+        ((..., 3) or (3,) or scalar): the query AABB.  Returns
+        (..., k_out) int32 triangle ids, -1 padded.
+        """
+        idx = self.candidates(cell_pos)                     # (..., K)
+        safe = jnp.maximum(idx, 0)
+        mid = self.tri_mid[safe]                            # (..., K, 3)
+        half = self.tri_half[safe]
+        reach = jnp.asarray(reach, jnp.float32)
+        if reach.ndim == 0:
+            reach = reach[None]
+        hit = jnp.all(jnp.abs(aabb_mid[..., None, :] - mid)
+                      <= half + reach[..., None, :], axis=-1)
+        hit &= idx >= 0
+        return compact_hits(idx, hit, k_out)
 
     def adjust_internal_edges(self, idx: jnp.ndarray, n: jnp.ndarray,
                               pos_b: jnp.ndarray, dist: jnp.ndarray):
@@ -749,11 +795,24 @@ class MeshGrid:
         active = (idx >= 0) & (depth > 0)
         return n, depth, active
 
-    def raycast(self, start: jnp.ndarray, direction: jnp.ndarray, max_len):
+    def raycast(self, start: jnp.ndarray, direction: jnp.ndarray, max_len,
+                k_compact: int | None = None):
         """Short raycast vs mesh (suspension rays). start/direction (..., 3)
         -> (hit (...,), dist (...,), normal (..., 3)). Rays longer than
-        ``margin`` may miss triangles binned to other cells."""
-        idx = self.candidates(start)
+        ``margin`` may miss triangles binned to other cells.
+
+        ``k_compact``: prefilter candidates by ray-segment AABB overlap and
+        run the triangle test on only that many (the suspension rays are
+        ~70uu; a handful of triangle AABBs can overlap them)."""
+        if k_compact is not None:
+            seg_mid = start + direction * (
+                jnp.asarray(max_len)[..., None] * 0.5)
+            seg_half = jnp.abs(direction) * (
+                jnp.asarray(max_len)[..., None] * 0.5) + 1.0
+            idx = self.compact_candidates(start, seg_mid, seg_half,
+                                          k_compact)
+        else:
+            idx = self.candidates(start)
         a, ab, ac, tri_n = self._gather(idx)
         o = start[..., None, :]
         d = direction[..., None, :]
@@ -812,6 +871,47 @@ class MeshGrid:
         inside = (v >= -eps) & (w >= -eps) & (v + w <= 1 + eps)
         active = (idx >= 0) & (depth > 0) & (dist > 0) & inside
         return n, point, depth, active
+
+
+def compact_hits(idx: jnp.ndarray, hit: jnp.ndarray, k_out: int
+                 ) -> jnp.ndarray:
+    """Compact a padded candidate list to the first ``k_out`` entries whose
+    ``hit`` flag is set, preserving order (candidate cell lists are stored
+    in BVH order = bullet's manifold insertion order, so the compacted
+    list keeps retention semantics).  Returns (..., k_out) int32, -1 pad.
+
+    This is the structural fix for the K-padded narrowphase cost: a cell
+    gather returns up to K(~128) candidates, but only a handful can be in
+    contact range of one body, so the expensive exact tests and the 4-slot
+    manifold retention scan need only run on the compacted entries.  If
+    more than ``k_out`` candidates hit, the LAST ones in BVH order are
+    dropped (bounded approximation; widths are sized from arena sweeps in
+    tests/test_mesh.py so real configurations stay under the cap)."""
+    K = idx.shape[-1]
+    if K <= k_out:
+        return jnp.where(hit, idx, -1)
+    sel, ok = compact_sel(hit, k_out)
+    out = jnp.take_along_axis(idx, sel, axis=-1)
+    return jnp.where(ok, out, -1)
+
+
+def compact_sel(hit: jnp.ndarray, k_out: int):
+    """Positions of the first ``k_out`` set entries of ``hit`` along the
+    last axis, order preserved.  Returns (sel (..., k_out) int32 positions,
+    ok (..., k_out) bool).  Use with ``take_along_axis`` to compact
+    per-candidate arrays computed before the cut.
+
+    Sort-free: prefix-sum ranks + one-hot contraction (a (K, k_out)
+    matmul-shaped reduction) — exact and far cheaper on TPU than a
+    top_k/sort over the padded width."""
+    K = hit.shape[-1]
+    k_out = min(k_out, K)
+    pos = jnp.cumsum(hit.astype(jnp.int32), axis=-1) - 1    # (..., K)
+    oh = (pos[..., :, None] == jnp.arange(k_out)) & hit[..., :, None]
+    sel = jnp.einsum('...ko,k->...o', oh.astype(jnp.float32),
+                     jnp.arange(K, dtype=jnp.float32)).astype(jnp.int32)
+    ok = jnp.any(oh, axis=-2)
+    return sel, ok
 
 
 def _closest_point_triangle(p, a, ab, ac):
