@@ -48,13 +48,15 @@ from reinforcement_learning_tpu.utils.report import Report
 
 # --- env factory (reference: EnvCreateFunc, ExampleMain.cpp:128-226) -------
 
-def make_env(num_envs: int, render_mode: bool) -> RocketLeagueEnv:
+def make_env(num_envs: int, render_mode: bool,
+             backend: str = "auto") -> RocketLeagueEnv:
     cfg = EnvConfig(
         num_envs=1 if render_mode else num_envs,
         team_size=2,                      # playersPerTeam = 2
         tick_skip=8, action_delay=7,      # actionDelay = tickSkip - 1
         no_touch_timeout=8.0,
         max_episode_seconds=300.0,        # cfg.ppo.maxEpisodeDuration
+        physics_backend=backend,
     )
     rewards = [
         # Movement
@@ -175,16 +177,19 @@ def main():
     iterations = 1_000_000
     render_mode = False
     scale = -1.0
+    backend = "auto"
     for arg in sys.argv[1:]:
         if arg == "--render":
             render_mode = True
         elif arg.startswith("--scale="):
             scale = float(arg.split("=", 1)[1])
+        elif arg.startswith("--backend="):
+            backend = arg.split("=", 1)[1]
         elif arg.isdigit():
             iterations = int(arg)
 
     num_games = 512
-    env = make_env(num_games, render_mode)
+    env = make_env(num_games, render_mode, backend)
 
     if scale <= 0:
         scale = auto_scale(num_games)

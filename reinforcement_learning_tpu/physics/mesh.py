@@ -158,11 +158,15 @@ def _octagon_ring(z: float, planes: np.ndarray, r_floor: float,
 
 def _z_samples(height: float, r_floor: float, r_ceil: float,
                n_fillet: int) -> np.ndarray:
-    """z levels: dense along both fillets (arc-uniform), sparse in between."""
+    """z levels: dense along both fillets (arc-uniform), sparse in between.
+
+    GOAL_HEIGHT is included so the goal-opening cut in the back walls
+    (quad-granular, keyed on band centers) ends exactly at the real
+    opening height instead of at the next coarse band boundary."""
     th = np.linspace(0, np.pi / 2, n_fillet + 1)
     z_lo = r_floor * (1.0 - np.cos(th))           # 0 .. r_floor
     z_hi = height - r_ceil * (1.0 - np.cos(th))   # height .. height-r_ceil
-    mid = np.array([height * 0.5])
+    mid = np.array([height * 0.5, C.GOAL_HEIGHT])
     return np.unique(np.concatenate([z_lo, np.sort(z_hi), mid]))
 
 
@@ -234,15 +238,23 @@ def build_soccar_mesh(n_fillet: int = 8, n_len: int = 8,
     # --- wall strips (8 octagon sides x len(zs)-1 bands)
     for side in range(8):
         is_back = planes[side][1] != 0 and planes[side][0] == 0
-        back_sign = np.sign(planes[side][1]) if is_back else 0.0
         for k in range(len(zs) - 1):
             z0, z1 = zs[k], zs[k + 1]
             # ring vertex side-1 joins planes side-1,side; vertex side joins
             # side,side+1 — so side's strip spans ring pts side-1 .. side.
             a0, b0 = rings[k][side - 1], rings[k][side]
             a1, b1 = rings[k + 1][side - 1], rings[k + 1][side]
-            for j in range(n_len):
-                u0, u1 = j / n_len, (j + 1) / n_len
+            ubreaks = [j / n_len for j in range(n_len + 1)]
+            if is_back and abs(b0[0] - a0[0]) > 1e-9:
+                # insert u-breaks exactly at the goal-post x positions so
+                # the quad-granular opening cut lands on +-GOAL_HALF_WIDTH
+                # (keyed on this band's bottom edge, like the cut test)
+                for gx in (-gw, gw):
+                    u = (gx - a0[0]) / (b0[0] - a0[0])
+                    if 1e-6 < u < 1 - 1e-6:
+                        ubreaks.append(u)
+                ubreaks = sorted(set(ubreaks))
+            for u0, u1 in zip(ubreaks[:-1], ubreaks[1:]):
                 p00 = np.append(a0 + (b0 - a0) * u0, z0)
                 p10 = np.append(a0 + (b0 - a0) * u1, z0)
                 p11 = np.append(a1 + (b1 - a1) * u1, z1)
