@@ -20,7 +20,21 @@ BASELINE_STEPS_PER_SEC = 100_677.8
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: first-compile of the fused train
+    # iteration through the TPU tunnel is slow and highly variable
+    # (~30s-900s observed for the same program); cache compiled
+    # executables next to the repo so repeat benches start in seconds.
+    cache_dir = os.environ.get(
+        "RLT_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from reinforcement_learning_tpu.envs.env import EnvConfig, RocketLeagueEnv
     from reinforcement_learning_tpu.learn.ppo import PPOConfig

@@ -34,6 +34,7 @@ from reinforcement_learning_tpu.envs.rewards import (RewardCtx,
                                                      WeightedReward,
                                                      combine_rewards)
 from reinforcement_learning_tpu.physics import step as stepmod
+from reinforcement_learning_tpu.physics import world as worldmod
 from reinforcement_learning_tpu.physics.state import NUM_CONTROLS
 
 
@@ -130,17 +131,15 @@ class RocketLeagueEnv:
             raise ValueError("the pallas megakernel backend is soccar-only; "
                              "use physics_backend='xla' for "
                              f"{config.game_mode}")
-        if config.physics_backend == "pallas" and (
-                config.arena.use_mesh or config.arena.dynamic_wheel_rays):
-            # The megakernel collides against the analytic-plane arena and
-            # skips the dynamic wheel-ray overlay; an explicit pallas
-            # request therefore opts out of both.  (backend "auto" + mesh
-            # resolves to the XLA path instead.)
-            config = dataclasses.replace(
-                config, arena=dataclasses.replace(
-                    config.arena, use_mesh=False,
-                    dynamic_wheel_rays=False))
-            self.config = config
+        if (config.physics_backend == "pallas" and config.arena.use_mesh
+                and not worldmod.is_procedural()):
+            # Real .cmf assets: only the XLA grid path collides against
+            # them; the megakernel's facet arena models the procedural
+            # soccar mesh.
+            raise ValueError(
+                "physics_backend='pallas' with use_mesh requires the "
+                "procedural arena (world.init(mesh_dir=None)); the XLA "
+                "backend collides against real .cmf assets")
         self.params = config.arena
         self.teams_np = config.make_teams()
         self.teams = jnp.asarray(self.teams_np)
@@ -309,8 +308,8 @@ class RocketLeagueEnv:
         b = self.config.physics_backend
         if self.config.game_mode != "soccar":
             return False
-        if self.params.use_mesh:
-            return False  # mesh collision runs on the XLA path (for now)
+        if self.params.use_mesh and not worldmod.is_procedural():
+            return False  # real .cmf assets: XLA grid path only
         if b == "auto":
             try:
                 plat = jax.devices()[0].platform

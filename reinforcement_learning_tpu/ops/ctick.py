@@ -61,6 +61,14 @@ class TickConsts:
     pad_locs: tuple         # (34, 3)
     pad_is_big: tuple       # (34,)
     respawn_table: tuple    # (K, 3): x, y, yaw
+    # Full-fidelity configuration (step.ArenaParams.use_mesh /
+    # dynamic_wheel_rays): collide against the closed-form facet arena
+    # (physics/facet_arena.py — the procedural mesh's exact surfaces,
+    # gather-free) + the 4 true static planes, and let wheel rays hit the
+    # ball / other cars.
+    use_mesh: bool = False
+    dynamic_rays: bool = False
+    facets: object = None   # facet_arena.FacetTables when use_mesh
 
 
 def make_consts(params, teams) -> TickConsts:
@@ -80,6 +88,11 @@ def make_consts(params, teams) -> TickConsts:
     corners = [(off[0] + sx * he[0], off[1] + sy * he[1], off[2] + sz * he[2])
                for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
 
+    use_mesh = bool(getattr(params, "use_mesh", False))
+    facets = None
+    if use_mesh:
+        from reinforcement_learning_tpu.physics import facet_arena
+        facets = facet_arena.tables()
     return TickConsts(
         num_cars=params.num_cars,
         teams=tuple(int(t) for t in np.asarray(teams)),
@@ -98,6 +111,9 @@ def make_consts(params, teams) -> TickConsts:
         pad_is_big=tuple(bool(b) for b in C.BOOST_PAD_IS_BIG),
         respawn_table=tuple(map(tuple,
                                 np.asarray(C.CAR_RESPAWN_LOCATIONS_SOCCAR))),
+        use_mesh=use_mesh,
+        dynamic_rays=bool(getattr(params, "dynamic_wheel_rays", False)),
+        facets=facets,
     )
 
 
@@ -129,8 +145,18 @@ def _plane_dist(plane, pos):
     return nx * pos[0] + ny * pos[1] + nz * pos[2] + d
 
 
+def _world_plane_ids(k: TickConsts):
+    """Plane indices live in the world: in mesh mode only the 4 true
+    btStaticPlaneShapes (floor/ceiling/side walls) — everything else comes
+    from the facet arena (reference: Arena.cpp:1060-1100)."""
+    if k.use_mesh:
+        return (geom.FLOOR, geom.CEILING, geom.WALL_XN, geom.WALL_XP)
+    return tuple(range(len(k.planes)))
+
+
 def _raycast(k: TickConsts, start, direction, max_len):
-    """Raycast against the arena planes (mirrors geom.raycast_down_dir).
+    """Raycast against the arena planes (mirrors geom.raycast_down_dir;
+    true planes only in mesh mode — the facet raycast covers the rest).
     start/direction: Vec; returns (hit, dist, normal Vec)."""
     valid = _plane_validity(k, start)
     big = jnp.full_like(start[0], 1e30)
@@ -138,7 +164,8 @@ def _raycast(k: TickConsts, start, direction, max_len):
     nx = jnp.zeros_like(start[0])
     ny = jnp.zeros_like(start[0])
     nz = jnp.zeros_like(start[0])
-    for p, plane in enumerate(k.planes):
+    for p in _world_plane_ids(k):
+        plane = k.planes[p]
         pn = plane[:3]
         dist_p = _plane_dist(plane, start)
         denom = -(direction[0] * pn[0] + direction[1] * pn[1]
@@ -228,20 +255,243 @@ def _contact_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
 
 
 # ---------------------------------------------------------------------------
+# Facet-arena contacts (mesh mode; physics/facet_arena.py supplies the
+# closed-form per-facet formulas — one source of truth with the XLA tests)
+
+def _keep_deepest4(cands):
+    """4-slot manifold retention over a static candidate list.
+
+    cands: list of (dist, act, payload-tuple-of-arrays).  Keeps the 4
+    DEEPEST live contacts (running replace-shallowest insertion).  The
+    reference's btPersistentManifold heuristic (keep deepest, then
+    maximize spanned area) differs only when >4 contacts are live at
+    once; the XLA path replicates it exactly (contacts.manifold_insert),
+    this kernel-side variant trades the area term for a 3x cheaper
+    sequential chain (documented in PARITY.md)."""
+    big = 1e30
+    d0 = cands[0][0]
+    slot_d = [jnp.full_like(d0, big) for _ in range(4)]
+    slot_occ = [jnp.zeros_like(d0, dtype=bool) for _ in range(4)]
+    slot_pay = [tuple(jnp.zeros_like(p) for p in cands[0][2])
+                for _ in range(4)]
+    for dist, act, pay in cands:
+        # shallowest (max dist; empty slots are +inf so they fill first)
+        m01 = jnp.where(slot_d[0] >= slot_d[1], 0, 1)
+        d01 = jnp.maximum(slot_d[0], slot_d[1])
+        m23 = jnp.where(slot_d[2] >= slot_d[3], 2, 3)
+        d23 = jnp.maximum(slot_d[2], slot_d[3])
+        mi = jnp.where(d01 >= d23, m01, m23)
+        dmax = jnp.maximum(d01, d23)
+        write = act & (dist < dmax)
+        for i in range(4):
+            w = write & (mi == i)
+            slot_d[i] = jnp.where(w, dist, slot_d[i])
+            slot_occ[i] = slot_occ[i] | w
+            slot_pay[i] = tuple(jnp.where(w, p, sp)
+                                for p, sp in zip(pay, slot_pay[i]))
+    return slot_d, slot_occ, slot_pay
+
+
+def _facet_sphere_manifold(k: TickConsts, pos, radius, break_gap):
+    """Ball vs the facet arena: 4 retained contacts.
+    Returns list of 4 (n Vec, gap, occ)."""
+    from reinforcement_learning_tpu.physics import facet_arena as fa
+    res = fa.sphere_contacts(pos[0], pos[1], pos[2], radius, break_gap,
+                             tab=k.facets)
+    z = jnp.zeros_like(pos[0])
+    cands = [(gap, act, (nx + z, ny + z, nz + z, gap))
+             for (nx, ny, nz, gap, act) in res]
+    slot_d, slot_occ, slot_pay = _keep_deepest4(cands)
+    return [((p[0], p[1], p[2]), p[3], occ)
+            for p, occ in zip(slot_pay, slot_occ)]
+
+
+def _facet_box_manifold(k: TickConsts, st, brk):
+    """Car hitbox vs the facet arena: 4 retained face-based contacts.
+    Returns list of 4 (n Vec, sup Vec, dist, occ)."""
+    from reinforcement_learning_tpu.physics import facet_arena as fa
+    box_center = vadd(st['pos'], cv.matvec(st['rot'],
+                                           cv.vconst(k.hitbox_offset,
+                                                     st['pos'][0])))
+    res = fa.box_contacts(box_center[0], box_center[1], box_center[2],
+                          st['rot'], k.half_extents, brk, tab=k.facets)
+    z = jnp.zeros_like(st['pos'][0])
+    cands = [(dist, act, (nx + z, ny + z, nz + z, sx, sy, sz, dist))
+             for (nx, ny, nz, sx, sy, sz, dist, act) in res]
+    slot_d, slot_occ, slot_pay = _keep_deepest4(cands)
+    return [((p[0], p[1], p[2]), (p[3], p[4], p[5]), p[6], occ)
+            for p, occ in zip(slot_pay, slot_occ)]
+
+
+def _plane_space_k(n):
+    """bullet btPlaneSpace1 first tangent (twin of
+    contacts._plane_space_dir)."""
+    nz_big = jnp.abs(n[2]) > 0.70710678
+    a = n[1] * n[1] + n[2] * n[2]
+    k1 = 1.0 / jnp.sqrt(jnp.maximum(a, 1e-12))
+    t1 = (jnp.zeros_like(k1), -n[2] * k1, n[1] * k1)
+    b = n[0] * n[0] + n[1] * n[1]
+    k2 = 1.0 / jnp.sqrt(jnp.maximum(b, 1e-12))
+    t2 = (-n[1] * k2, n[0] * k2, jnp.zeros_like(k2))
+    return vwhere(nz_big, t1, t2)
+
+
+def _pgs_rows_k(k: TickConsts, vel_bt, ang_vel, rows, inv_mass, inv_iw,
+                restitution, friction, vel_pre_bt, ang_vel_pre,
+                iterations: int = 10):
+    """Component twin of contacts.pgs_rows_vs_static: bullet-order PGS
+    over a static list of contact rows of one body vs the static world.
+
+    rows: list of (n Vec, r Vec (bt), dist_bt, act).  Returns (dv Vec bt,
+    dw Vec, push Vec bt, turn Vec)."""
+    dt = k.dt
+    setup = []
+    for n, r, dist_bt, act in rows:
+        torque_axis = vcross(r, n)
+        ang_comp = _iw_vec(inv_iw, torque_axis)
+        jac_inv = 1.0 / jnp.maximum(
+            inv_mass + vdot(n, vcross(ang_comp, r)), 1e-12)
+        wpre = ang_vel if ang_vel_pre is None else ang_vel_pre
+        rel_rest = vdot(n, vadd(vel_pre_bt, vcross(wpre, r)))
+        rest = _restitution_rhs(rel_rest, restitution)
+        vel_at = vadd(vel_bt, vcross(ang_vel, r))
+        tang = vsub(vel_at, vscale(n, vdot(n, vel_at)))
+        t_len = vnorm(tang)
+        t_dir = vwhere(t_len > 1.49e-8,
+                       vscale(tang, 1.0 / jnp.maximum(t_len, 1e-12)),
+                       _plane_space_k(n))
+        t_axis = vcross(r, t_dir)
+        t_ang = _iw_vec(inv_iw, t_axis)
+        t_jac_inv = 1.0 / jnp.maximum(
+            inv_mass + vdot(t_dir, vcross(t_ang, r)), 1e-12)
+        push_target = jnp.maximum(-dist_bt, 0.0) * (C.SOLVER_ERP2 / dt)
+        actf = act.astype(jac_inv.dtype)
+        setup.append((n, r, jac_inv, rest, t_dir, t_jac_inv, push_target,
+                      actf))
+
+    zero3 = vzero(vel_bt[0])
+    zeroR = tuple(jnp.zeros_like(vel_bt[0]) for _ in rows)
+
+    def _vel_iter(_, carry):
+        dv, dw, j_n, j_t = carry
+        j_n, j_t = list(j_n), list(j_t)
+        for i, (n, r, jac_inv, rest, t_dir, t_jac_inv, _pt, actf) in \
+                enumerate(setup):
+            rel = vdot(n, vadd(vadd(vel_bt, dv),
+                               vcross(vadd(ang_vel, dw), r)))
+            dj = (rest - rel) * jac_inv
+            new_acc = jnp.maximum(j_n[i] + dj, 0.0)
+            dj = (new_acc - j_n[i]) * actf
+            imp = vscale(n, dj)
+            dv = vadd(dv, vscale(imp, inv_mass))
+            dw = vadd(dw, _iw_vec(inv_iw, vcross(r, imp)))
+            j_n[i] = j_n[i] + dj
+        for i, (n, r, jac_inv, rest, t_dir, t_jac_inv, _pt, actf) in \
+                enumerate(setup):
+            rel = vdot(t_dir, vadd(vadd(vel_bt, dv),
+                                   vcross(vadd(ang_vel, dw), r)))
+            dj = -rel * t_jac_inv
+            lim = friction * j_n[i]
+            new_acc = jnp.clip(j_t[i] + dj, -lim, lim)
+            dj = (new_acc - j_t[i]) * actf
+            dj = jnp.where(j_n[i] > 0, dj, 0.0)
+            imp = vscale(t_dir, dj)
+            dv = vadd(dv, vscale(imp, inv_mass))
+            dw = vadd(dw, _iw_vec(inv_iw, vcross(r, imp)))
+            j_t[i] = j_t[i] + dj
+        return dv, dw, tuple(j_n), tuple(j_t)
+
+    dv, dw, _, _ = jax.lax.fori_loop(
+        0, iterations, _vel_iter, (zero3, zero3, zeroR, zeroR))
+
+    def _pos_iter(_, carry):
+        pv, pw, j_p = carry
+        j_p = list(j_p)
+        for i, (n, r, jac_inv, _rest, _td, _tj, push_target, actf) in \
+                enumerate(setup):
+            rel = vdot(n, vadd(pv, vcross(pw, r)))
+            dj = (push_target - rel) * jac_inv
+            new_acc = jnp.maximum(j_p[i] + dj, 0.0)
+            dj = (new_acc - j_p[i]) * actf
+            imp = vscale(n, dj)
+            pv = vadd(pv, vscale(imp, inv_mass))
+            pw = vadd(pw, _iw_vec(inv_iw, vcross(r, imp)))
+            j_p[i] = j_p[i] + dj
+        return pv, pw, tuple(j_p)
+
+    pv, pw, _ = jax.lax.fori_loop(0, iterations, _pos_iter,
+                                  (zero3, zero3, zeroR))
+    push = vscale(pv, dt)
+    turn = vscale(pw, C.SPLIT_IMPULSE_TURN_ERP * dt)
+    return dv, dw, push, turn
+
+
+# ---------------------------------------------------------------------------
 # Suspension raycasts + friction (btVehicleRL; twin of physics/car.py)
+
+def _ray_sphere_k(o, d, max_len, center, radius):
+    """car._ray_sphere twin: (hit, t)."""
+    oc = vsub(o, center)
+    b = vdot(oc, d)
+    c2 = vdot(oc, oc) - radius * radius
+    disc = b * b - c2
+    t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    hit = (disc > 0.0) & (c2 > 0.0) & (t >= 0.0) & (t <= max_len)
+    return hit, jnp.where(hit, t, max_len)
+
+
+def _ray_obb_k(o, d, max_len, box_center, box_rot, he):
+    """car._ray_obb twin (slab method): (hit, t, normal Vec)."""
+    lo = cv.mat_t_vec(box_rot, vsub(o, box_center))
+    ld = cv.mat_t_vec(box_rot, d)
+    tmin = jnp.full_like(o[0], -jnp.inf)
+    tmax = jnp.full_like(o[0], jnp.inf)
+    entry_ax = jnp.zeros_like(o[0], jnp.int32)
+    sign = jnp.zeros_like(o[0])
+    inside_all = jnp.ones_like(o[0], dtype=bool)
+    for ax in range(3):
+        safe = jnp.where(jnp.abs(ld[ax]) > 1e-9, ld[ax], 1e-9)
+        t1 = (-he[ax] - lo[ax]) / safe
+        t2 = (he[ax] - lo[ax]) / safe
+        tmin_ax = jnp.minimum(t1, t2)
+        tmax_ax = jnp.maximum(t1, t2)
+        inside = (jnp.abs(lo[ax]) <= he[ax]) | (jnp.abs(ld[ax]) > 1e-9)
+        inside_all &= inside
+        better = tmin_ax > tmin
+        entry_ax = jnp.where(better, ax, entry_ax)
+        sign = jnp.where(better, -jnp.sign(ld[ax]), sign)
+        tmin = jnp.maximum(tmin, tmin_ax)
+        tmax = jnp.minimum(tmax, jnp.where(inside, tmax_ax, jnp.inf))
+    hit = (tmax >= tmin) & (tmax >= 0.0) & (tmin >= 0.0) \
+        & (tmin <= max_len) & inside_all
+    n_local = tuple(jnp.where(entry_ax == ax, sign, 0.0) for ax in range(3))
+    return hit, jnp.where(hit, tmin, max_len), cv.matvec(box_rot, n_local)
+
 
 def _wheel_raycasts(k: TickConsts, st, inv_iw):
     """Per-wheel raycast data.  Returns a dict of lists (len 4):
-    hit, contact_point (Vec), normal (Vec), susp_len, susp_rel_vel,
-    clipped_inv_dot, extra_pushback, hard_point (Vec)."""
+    hit, in_world, contact_point (Vec), normal (Vec), susp_len,
+    susp_rel_vel, clipped_inv_dot, extra_pushback, hard_point (Vec),
+    ground_idx (-1 static, -2 ball, >=0 other car).
+
+    Mesh mode raycasts the facet arena alongside the true planes; with
+    dynamic rays the ball and other (alive) cars are overlaid like the
+    reference's suspension-grid dynamic-object update (Arena.cpp:733-750,
+    btVehicleRL.cpp:149-151)."""
     mut = k.mut
     dt = k.dt
+    Cn = k.num_cars
     up = cv.up(st['rot'])
     wheel_dir = cv.vneg(up)
     sus_sub_uu = C.BTVehicle.SUSPENSION_SUBTRACTION * C.BT_TO_UU
     travel = C.BTVehicle.MAX_SUSPENSION_TRAVEL
-    out = dict(hit=[], cp=[], n=[], susp_len=[], susp_rel_vel=[],
-               clipped_inv=[], extra_push=[], hard=[])
+    alive = ~st['is_demoed']
+    if k.dynamic_rays:
+        box_center = vadd(st['pos'], cv.matvec(
+            st['rot'], cv.vconst(k.hitbox_offset, st['pos'][0])))
+    out = dict(hit=[], in_world=[], cp=[], n=[], susp_len=[],
+               susp_rel_vel=[], clipped_inv=[], extra_push=[], hard=[],
+               ground_idx=[])
     for w in range(4):
         rest_len = k.sus_rest[w]
         radius = k.wheel_radii[w]
@@ -250,6 +500,48 @@ def _wheel_raycasts(k: TickConsts, st, inv_iw):
                                                    st['pos'][0])))
         ray_len = rest_len + travel + radius - sus_sub_uu
         hit, dist, n = _raycast(k, hard, wheel_dir, ray_len)
+        if k.use_mesh:
+            from reinforcement_learning_tpu.physics import facet_arena as fa
+            fdist, fnx, fny, fnz, fhit = fa.raycasts(
+                hard[0], hard[1], hard[2],
+                wheel_dir[0], wheel_dir[1], wheel_dir[2], ray_len,
+                tab=k.facets)
+            closer = fhit & (fdist < dist)
+            hit = hit | fhit
+            dist = jnp.where(closer, fdist, dist)
+            n = vwhere(closer, (fnx, fny, fnz), n)
+        ground_idx = jnp.full_like(hit, -1, jnp.int32)
+        if k.dynamic_rays:
+            # ball
+            bhit, bt = _ray_sphere_k(hard, wheel_dir, ray_len,
+                                     cv.vbroadcast(st['ball_pos'],
+                                                   hard[0].shape),
+                                     mut.ball_radius)
+            closer = bhit & (bt < dist)
+            bpt = vadd(hard, vscale(wheel_dir, bt))
+            bn = vnormalize(vsub(bpt, st['ball_pos']))
+            hit = hit | closer
+            dist = jnp.where(closer, bt, dist)
+            n = vwhere(closer, bn, n)
+            ground_idx = jnp.where(closer, -2, ground_idx)
+            # other cars' hitboxes
+            for j in range(Cn):
+                cj = _vslice(box_center, j)
+                Rj = _mslice(st['rot'], j)
+                ohit, ot, on = _ray_obb_k(
+                    hard, wheel_dir, ray_len,
+                    cv.vbroadcast(cj, hard[0].shape), Rj, k.half_extents)
+                # static per-slot self mask (slot i's ray never hits car i)
+                not_self = jnp.stack(
+                    [jnp.full_like(hit[0], i != j)
+                     for i in range(Cn)], axis=0)
+                ok = ohit & not_self & alive[j]
+                closer = ok & (ot < dist)
+                hit = hit | closer
+                dist = jnp.where(closer, ot, dist)
+                n = vwhere(closer, on, n)
+                ground_idx = jnp.where(closer, j, ground_idx)
+        in_world = hit & (ground_idx == -1)
         cp = vadd(hard, vscale(wheel_dir, dist))
         trace_len = vdot(vsub(hard, cp), up)
         susp_len = jnp.clip(trace_len - radius, rest_len - travel,
@@ -268,7 +560,9 @@ def _wheel_raycasts(k: TickConsts, st, inv_iw):
 
         push_thresh = rest_len + radius - sus_sub_uu
         delta = (trace_len - push_thresh) * C.UU_TO_BT
-        needs = hit & (trace_len < push_thresh)
+        # extra pushback fires only against STATIC geometry
+        # (btVehicleRL.cpp:184 "if (object->isStaticObject())")
+        needs = in_world & (trace_len < push_thresh)
         # resolveSingleCollision hard-codes zero restitution
         # (btContactConstraint.cpp:59,82)
         pos_err = 0.2 * -delta / dt
@@ -282,6 +576,7 @@ def _wheel_raycasts(k: TickConsts, st, inv_iw):
 
         n = vwhere(hit, n, up)
         out['hit'].append(hit)
+        out['in_world'].append(in_world)
         out['cp'].append(cp)
         out['n'].append(n)
         out['susp_len'].append(susp_len)
@@ -289,15 +584,27 @@ def _wheel_raycasts(k: TickConsts, st, inv_iw):
         out['clipped_inv'].append(clipped_inv)
         out['extra_push'].append(extra_push)
         out['hard'].append(hard)
+        out['ground_idx'].append(ground_idx)
     return out
 
 
 def _calc_friction_impulses(k: TickConsts, st, rc, wc, inv_iw):
-    """Twin of car.calc_friction_impulses: list of 4 impulse Vecs (BT)."""
+    """Twin of car.calc_friction_impulses: list of 4 impulse Vecs (BT).
+
+    With dynamic rays, wheels whose ray hit the ball / another car use
+    that body's velocity in the relative-velocity terms and its
+    mass/inertia in the bilateral jacobian (btVehicleRL.cpp:321-387),
+    keeping the reference's quirk of sampling the ground object's point
+    velocity at the CAR-relative offset for rolling friction."""
     mut = k.mut
+    Cn = k.num_cars
     friction_scale = mut.car_mass / 3.0
     up = cv.up(st['rot'])
     rightv = cv.right(st['rot'])
+    inv_mass_car = 1.0 / mut.car_mass
+    if k.dynamic_rays:
+        i_ball = 0.4 * mut.ball_mass * (mut.ball_radius * C.UU_TO_BT) ** 2
+        inv_i_ball = 1.0 / i_ball
     impulses = []
     for w in range(4):
         steer = wc['steer_angle'] if w < 2 else jnp.zeros_like(
@@ -312,14 +619,64 @@ def _calc_friction_impulses(k: TickConsts, st, rc, wc, inv_iw):
         vel_at = vadd(vscale(st['vel'], C.UU_TO_BT),
                       vcross(st['ang_vel'], rel))
 
-        rel_vel_side = vdot(vel_at, axle)
+        if k.dynamic_rays:
+            gi = rc['ground_idx'][w]
+            is_ball = gi == -2
+            is_car = gi >= 0
+            dyn = is_ball | is_car
+            # ground object state: ball or the selected other car (static
+            # one-hot select over the car slots — no gathers)
+            zf = vzero(rel[0])
+            g_vel = vwhere(is_ball, cv.vbroadcast(st['ball_vel'],
+                                                  gi.shape), zf)
+            g_ang = vwhere(is_ball, cv.vbroadcast(st['ball_ang_vel'],
+                                                  gi.shape), zf)
+            g_pos = vwhere(is_ball, cv.vbroadcast(st['ball_pos'],
+                                                  gi.shape), zf)
+            g_inv_mass = jnp.where(is_ball, 1.0 / mut.ball_mass,
+                                   jnp.where(is_car, inv_mass_car, 0.0))
+            for j in range(Cn):
+                sel = gi == j
+                g_vel = vwhere(sel, cv.vbroadcast(_vslice(st['vel'], j),
+                                                  gi.shape), g_vel)
+                g_ang = vwhere(sel, cv.vbroadcast(_vslice(st['ang_vel'],
+                                                          j), gi.shape),
+                               g_ang)
+                g_pos = vwhere(sel, cv.vbroadcast(_vslice(st['pos'], j),
+                                                  gi.shape), g_pos)
+            r_b = vscale(vsub(rc['cp'][w], g_pos), C.UU_TO_BT)
+            v2_at = vwhere(dyn, vadd(vscale(g_vel, C.UU_TO_BT),
+                                     vcross(g_ang, r_b)), zf)
+            v2_quirk = vwhere(dyn, vadd(vscale(g_vel, C.UU_TO_BT),
+                                        vcross(g_ang, rel)), zf)
+        else:
+            v2_at = v2_quirk = vzero(rel[0])
+            g_inv_mass = 0.0
+
+        rel_vel_side = vdot(vsub(vel_at, v2_at), axle)
         r_cross_n = vcross(rel, axle)
         ang_term = vdot(vcross(_iw_vec(inv_iw, r_cross_n), rel), axle)
-        jac = (1.0 / mut.car_mass) + ang_term
+        jac = inv_mass_car + ang_term + g_inv_mass
+        if k.dynamic_rays:
+            rb_cross = vcross(r_b, axle)
+            # ground angular term: ball has isotropic inertia; the other
+            # car's world inverse-inertia tensor is selected per slot
+            g_ang_term = jnp.zeros_like(jac)
+            ball_term = vdot(vcross(vscale(rb_cross, inv_i_ball), r_b),
+                             axle)
+            g_ang_term = jnp.where(is_ball, ball_term, g_ang_term)
+            for j in range(Cn):
+                sel = gi == j
+                iw_j = tuple(tuple(inv_iw[r][c][j] for c in range(3))
+                             for r in range(3))
+                car_term = vdot(vcross(cv.matvec(iw_j, rb_cross), r_b),
+                                axle)
+                g_ang_term = jnp.where(sel, car_term, g_ang_term)
+            jac = jac + jnp.where(dyn, g_ang_term, 0.0)
         side = -C.SIDE_FRICTION_CONTACT_DAMPING * rel_vel_side / (
             jnp.maximum(jac, 1e-9))
 
-        rel_vel_fwd = vdot(vel_at, fwd_dir)
+        rel_vel_fwd = vdot(vsub(vel_at, v2_quirk), fwd_dir)
         brake = wc['brake']
         engine = wc['engine_force']
         rolling_brake = jnp.clip(
@@ -465,8 +822,10 @@ def _update_wheels(k: TickConsts, st, rc, wc, controls, fwd_speed,
         new_lat.append(lat_f)
         new_long.append(long_f)
 
-    # Sticky force (Car.cpp:463-474)
-    any_world = rc['hit'][0] | rc['hit'][1] | rc['hit'][2] | rc['hit'][3]
+    # Sticky force (Car.cpp:463-474): gated on WORLD contact (a wheel
+    # resting on the ball / another car does not stick, car.py)
+    any_world = (rc['in_world'][0] | rc['in_world'][1]
+                 | rc['in_world'][2] | rc['in_world'][3])
     sum_n = vzero(st['pos'][0])
     for w in range(4):
         sum_n = vadd(sum_n, vwhere(rc['hit'][w], rc['n'][w],
@@ -870,6 +1229,116 @@ def _resolve_car_world(k: TickConsts, st, inv_iw, vel_pre, ang_vel_pre):
 
     normal = vwhere(has_contact, vnormalize(nsum), vzero(zero))
     return (vscale(dvel, C.BT_TO_UU), dang, push, has_contact, normal)
+
+
+def _resolve_car_world_mesh_k(k: TickConsts, st, inv_iw, vel_pre,
+                              ang_vel_pre):
+    """Full-fidelity car-world resolve: 4 retained facet contacts + the 4
+    true-plane support-vertex contacts, solved JOINTLY by bullet-order PGS
+    (twin of contacts.resolve_car_world_mesh).  Returns (dvel uu, dang,
+    push uu, turn Vec, has_contact, normal Vec)."""
+    mut = k.mut
+    inv_mass = 1.0 / mut.car_mass
+    he = k.half_extents
+    off = k.hitbox_offset
+    brk = C.CONTACT_BREAK_FRAC * (
+        float(np.linalg.norm(np.asarray(he)))
+        + float(np.linalg.norm(np.asarray(off))))
+
+    rows = []
+    slots = _facet_box_manifold(k, st, brk)
+    for n, sup, dist, occ in slots:
+        r = vscale(vsub(sup, st['pos']), C.UU_TO_BT)
+        rows.append((n, r, dist * C.UU_TO_BT, occ))
+
+    valid = _plane_validity(k, st['pos'])
+    zero = jnp.zeros_like(st['pos'][0])
+    for p in _world_plane_ids(k):
+        plane = k.planes[p]
+        pn = plane[:3]
+        n = cv.vconst(pn, zero)
+        ldir = cv.mat_t_vec(st['rot'], cv.vneg(n))
+        sup_local = tuple(
+            jnp.where(ldir[i] >= 0.0, off[i] + he[i], off[i] - he[i])
+            for i in range(3))
+        sup = vadd(st['pos'], cv.matvec(st['rot'], sup_local))
+        d = _plane_dist(plane, sup)
+        act = d < brk if valid[p] is True else valid[p] & (d < brk)
+        r = vscale(vsub(sup, st['pos']), C.UU_TO_BT)
+        rows.append((n, r, d * C.UU_TO_BT, act))
+
+    vel_bt = vscale(st['vel'], C.UU_TO_BT)
+    vel_pre_bt = vscale(vel_pre, C.UU_TO_BT)
+    dv_bt, dw, push_bt, turn = _pgs_rows_k(
+        k, vel_bt, st['ang_vel'], rows, inv_mass, inv_iw,
+        mut.car_world_restitution, mut.car_world_friction,
+        vel_pre_bt, ang_vel_pre)
+
+    has_contact = rows[0][3]
+    nsum = vzero(zero)
+    for n, _r, _d, act in rows:
+        has_contact = has_contact | act
+        nsum = vadd(nsum, vwhere(act, n, vzero(zero)))
+    normal = vwhere(has_contact, vnormalize(nsum), vzero(zero))
+    return (vscale(dv_bt, C.BT_TO_UU), dw, vscale(push_bt, C.BT_TO_UU),
+            turn, has_contact, normal)
+
+
+def _resolve_ball_world_mesh_k(k: TickConsts, ball_pos, ball_vel,
+                               ball_ang_vel, ball_vel_pre):
+    """Full-fidelity ball-world resolve: ROCKETSIM merged special contact
+    over the true planes + 4 retained facet contacts (twin of
+    contacts.resolve_ball_world with a grid)."""
+    mut = k.mut
+    radius = mut.ball_radius
+    break_gap = C.CONTACT_BREAK_FRAC * (radius + C.SPHERE_BOUND_EXTRA)
+    valid = _plane_validity(k, ball_pos)
+    zero = jnp.zeros_like(ball_pos[0])
+
+    num = zero
+    navg = vzero(zero)
+    max_depth = zero
+    for p in _world_plane_ids(k):
+        plane = k.planes[p]
+        dist = _plane_dist(plane, ball_pos)
+        gap = dist - radius
+        act = gap < break_gap if valid[p] is True \
+            else valid[p] & (gap < break_gap)
+        actf = act.astype(zero.dtype)
+        num = num + actf
+        navg = vadd(navg, vscale(cv.vconst(plane[:3], zero), actf))
+        max_depth = jnp.maximum(max_depth, jnp.where(act, -gap, 0.0))
+    for n, gap, occ in _facet_sphere_manifold(k, ball_pos, radius,
+                                              break_gap):
+        actf = occ.astype(zero.dtype)
+        num = num + actf
+        navg = vadd(navg, vscale(n, actf))
+        max_depth = jnp.maximum(max_depth, jnp.where(occ, -gap, 0.0))
+
+    touching = num > 0
+    inv_n = 1.0 / jnp.maximum(num, 1.0)
+    navg = vscale(navg, inv_n)
+    r_bt = vscale(navg, -radius * C.UU_TO_BT)
+
+    ball_inv_mass = 1.0 / mut.ball_mass
+    inertia = 0.4 * mut.ball_mass * (radius * C.UU_TO_BT) ** 2
+    s = 1.0 / inertia
+    inv_iw = ((s, 0.0, 0.0), (0.0, s, 0.0), (0.0, 0.0, s))
+
+    restitution = max(mut.ball_world_restitution, C.WORLD_RESTITUTION)
+    friction = min(mut.ball_world_friction, C.WORLD_FRICTION)
+
+    # 10 iterations: the multi-surface average normal couples the normal
+    # and friction rows (see contacts.resolve_ball_world)
+    dv_bt, dw, _ = _contact_vs_static(
+        vscale(ball_vel, C.UU_TO_BT), ball_ang_vel, r_bt, navg,
+        ball_inv_mass, inv_iw, restitution, friction,
+        vel_pre_bt=vscale(ball_vel_pre, C.UU_TO_BT), iterations=10)
+
+    push = vscale(navg, jnp.maximum(max_depth, 0.0) * C.SOLVER_ERP2)
+    z = vzero(zero)
+    return (vwhere(touching, vscale(dv_bt, C.BT_TO_UU), z),
+            vwhere(touching, dw, z), vwhere(touching, push, z), touching)
 
 
 def _resolve_ball_world(k: TickConsts, ball_pos, ball_vel, ball_ang_vel,
@@ -1509,8 +1978,14 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
         bvel)
 
     # --- car-world
-    cw_dv, cw_dw, cw_push, cw_contact, cw_normal = _resolve_car_world(
-        k, st, inv_iw, cars_vel_pre, cars_ang_vel_pre)
+    if k.use_mesh:
+        cw_dv, cw_dw, cw_push, cw_turn, cw_contact, cw_normal = \
+            _resolve_car_world_mesh_k(k, st, inv_iw, cars_vel_pre,
+                                      cars_ang_vel_pre)
+    else:
+        cw_dv, cw_dw, cw_push, cw_contact, cw_normal = _resolve_car_world(
+            k, st, inv_iw, cars_vel_pre, cars_ang_vel_pre)
+        cw_turn = None
     st['vel'] = vadd(st['vel'], cw_dv)
     st['ang_vel'] = vadd(st['ang_vel'], cw_dw)
     st['has_world_contact'] = cw_contact
@@ -1529,8 +2004,14 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
     st['ball_ang_vel'] = vadd(st['ball_ang_vel'], cb_ball_dw)
 
     # --- ball-world
-    bw_dv, bw_dw, bw_push, _ = _resolve_ball_world(
-        k, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'], ball_vel_pre)
+    if k.use_mesh:
+        bw_dv, bw_dw, bw_push, _ = _resolve_ball_world_mesh_k(
+            k, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'],
+            ball_vel_pre)
+    else:
+        bw_dv, bw_dw, bw_push, _ = _resolve_ball_world(
+            k, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'],
+            ball_vel_pre)
     st['ball_vel'] = vadd(st['ball_vel'], bw_dv)
     st['ball_ang_vel'] = vadd(st['ball_ang_vel'], bw_dw)
 
@@ -1552,6 +2033,9 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
     # --- integrate transforms
     st['pos'] = vadd(st['pos'], vscale(st['vel'], dt), cw_push, cc_push)
     st['rot'] = cv.integrate_rotation(st['rot'], st['ang_vel'], dt)
+    if cw_turn is not None:
+        # split-impulse turn pseudo-velocity writeback (step.arena_tick)
+        st['rot'] = cv.integrate_rotation(st['rot'], cw_turn, 1.0)
     ball_awake = (vnorm(st['ball_vel']) > 0) | (vnorm(st['ball_ang_vel']) > 0)
     st['ball_pos'] = vwhere(
         ball_awake,

@@ -46,3 +46,10 @@ def get_grid(game_mode: str = "soccar"):
         with jax.ensure_compile_time_eval():
             _GRIDS[key] = meshmod.load_arena_mesh(_MESH_DIR)
     return _GRIDS[key]
+
+
+def is_procedural() -> bool:
+    """True when the registry serves the procedural arena (no real .cmf
+    assets configured) — the configuration the megakernel's closed-form
+    facet arena models."""
+    return _MESH_DIR is None

@@ -216,3 +216,92 @@ def test_ctick_demo_respawn():
                                atol=60.0)
     np.testing.assert_allclose(oc.boost[:, 0], C.BOOST_SPAWN_AMOUNT,
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Full-fidelity (mesh) mode: the facet-arena kernel vs the XLA grid path
+
+def _mesh_params():
+    return stepmod.ArenaParams(num_cars=CARS, use_mesh=True,
+                               dynamic_wheel_rays=True)
+
+
+@pytest.mark.parametrize("airborne", [False, True])
+def test_ctick_mesh_matches_xla_midfield(airborne):
+    """Away from walls the two full-fidelity backends must agree tightly
+    (identical plane rows + joint PGS; mesh/facet contacts inactive)."""
+    params = _mesh_params()
+    key = jax.random.PRNGKey(21 if airborne else 22)
+    phys = _random_phys(key, params, airborne=airborne)
+    new_controls = _random_controls(jax.random.PRNGKey(23))
+
+    ref = _run_xla(phys, new_controls, params, jax.random.PRNGKey(24))
+    got = _run_ctick(phys, new_controls, params)
+    _assert_close(got, ref)
+
+
+def test_ctick_mesh_ball_ramp():
+    """A ball thrown into the corner floor fillet: both backends bounce it
+    off the same curved surface.  The manifolds differ in bookkeeping
+    (per-triangle contacts + BVH retention vs per-facet contacts +
+    keep-deepest-4, PARITY.md), so tolerances are behavioral, not exact."""
+    params = _mesh_params()
+    phys = _random_phys(jax.random.PRNGKey(31), params, airborne=False)
+    ball = phys.arena.ball
+    # toward the x+ wall fillet, slight spread across envs
+    px = 3830.0 + 10.0 * jnp.arange(E, dtype=jnp.float32)
+    ball = ball.replace(
+        pos=jnp.stack([px, jnp.zeros(E), jnp.full((E,), 140.0)], -1),
+        vel=jnp.broadcast_to(jnp.asarray([900.0, 0.0, -300.0]), (E, 3)),
+        ang_vel=jnp.zeros((E, 3)))
+    # park the cars away from the ball
+    cars = phys.arena.cars
+    cars = cars.replace(pos=cars.pos.at[:, :, 0].add(-1500.0))
+    phys = phys.replace(arena=phys.arena.replace(ball=ball, cars=cars))
+    controls = jnp.zeros((E, CARS, 8))
+
+    ref = phys
+    got = phys
+    for i in range(6):
+        ref = _run_xla(ref, controls, params, jax.random.PRNGKey(40 + i))
+        got = _run_ctick(got, controls, params)
+    bp_r = np.asarray(ref.arena.ball.pos)
+    bp_g = np.asarray(got.arena.ball.pos)
+    bv_r = np.asarray(ref.arena.ball.vel)
+    bv_g = np.asarray(got.arena.ball.vel)
+    # the ball must have bounced off the fillet (moving away from the
+    # wall, gained upward velocity) in BOTH
+    assert (bv_r[:, 0] < 0).all() and (bv_g[:, 0] < 0).all(), (bv_r, bv_g)
+    np.testing.assert_allclose(bp_g, bp_r, atol=8.0)
+    np.testing.assert_allclose(bv_g, bv_r, atol=30.0)
+
+
+def test_ctick_mesh_car_on_ball():
+    """Dynamic wheel rays: a car dropped on the resting ball detects it as
+    ground in both backends."""
+    params = _mesh_params()
+    phys = _random_phys(jax.random.PRNGKey(51), params, airborne=False)
+    ball = phys.arena.ball.replace(
+        pos=jnp.broadcast_to(jnp.asarray([1000.0, 0.0, 93.15]), (E, 3)),
+        vel=jnp.zeros((E, 3)), ang_vel=jnp.zeros((E, 3)))
+    cars = phys.arena.cars
+    pos0 = jnp.asarray([1000.0, 0.0, 93.15 + 91.25 + 40.0])
+    cars = cars.replace(
+        pos=cars.pos.at[:, 0].set(pos0),
+        vel=cars.vel.at[:, 0].set(jnp.zeros(3)),
+        rot=cars.rot.at[:, 0].set(jnp.eye(3)))
+    phys = phys.replace(arena=phys.arena.replace(ball=ball, cars=cars))
+    controls = jnp.zeros((E, CARS, 8))
+
+    ref = phys
+    got = phys
+    for i in range(3):
+        ref = _run_xla(ref, controls, params, jax.random.PRNGKey(60 + i))
+        got = _run_ctick(got, controls, params)
+    # car 0 lands on the ball in both backends: wheels report contact
+    wc_r = np.asarray(ref.arena.cars.wheels_with_contact[:, 0])
+    wc_g = np.asarray(got.arena.cars.wheels_with_contact[:, 0])
+    assert wc_r.any() and wc_g.any(), (wc_r, wc_g)
+    np.testing.assert_allclose(np.asarray(got.arena.cars.pos[:, 0]),
+                               np.asarray(ref.arena.cars.pos[:, 0]),
+                               atol=5.0)

@@ -53,9 +53,10 @@ def _random_phys(key, params):
     return phys.replace(arena=phys.arena.replace(cars=cars))
 
 
-def test_pallas_step_matches_ctick():
-    params = stepmod.ArenaParams(num_cars=CARS, use_mesh=False,
-                                 dynamic_wheel_rays=False)
+@pytest.mark.parametrize("full_fidelity", [False, True])
+def test_pallas_step_matches_ctick(full_fidelity):
+    params = stepmod.ArenaParams(num_cars=CARS, use_mesh=full_fidelity,
+                                 dynamic_wheel_rays=full_fidelity)
     key = jax.random.PRNGKey(3)
     phys = _random_phys(key, params)
     ks = jax.random.split(key, 2)

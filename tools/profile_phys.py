@@ -48,9 +48,13 @@ def probe(label, **arena_kw):
 
 print(f"# devices={jax.devices()} num_envs={N}")
 if "mesh" in which:
-    probe("mesh", use_mesh=True, dynamic_wheel_rays=True)
+    probe("mesh", use_mesh=True, dynamic_wheel_rays=True, backend="xla")
 if "planes" in which:
-    probe("planes", use_mesh=False, dynamic_wheel_rays=False)
+    probe("planes", use_mesh=False, dynamic_wheel_rays=False,
+          backend="xla")
 if "pallas" in which:
     probe("pallas", use_mesh=False, dynamic_wheel_rays=False,
+          backend="pallas")
+if "pallas_mesh" in which:
+    probe("pl_mesh", use_mesh=True, dynamic_wheel_rays=True,
           backend="pallas")
