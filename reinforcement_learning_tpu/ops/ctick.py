@@ -18,7 +18,19 @@ caller passes one pre-drawn respawn index per car per step.
 Differences from the XLA path, by design:
   * respawn location uses one draw per step instead of per tick (a car can
     respawn at most once per 8-tick step — the demo timer is 3 s);
-  * no other semantic differences; tests assert trajectory equality.
+  * full-fidelity mode collides against the closed-form facet arena with
+    kernel-shaped manifold bookkeeping (PARITY.md "Megakernel path");
+  * no other semantic differences; tests assert trajectory equality
+    (plane mode exact; mesh mode behavioral).
+
+Source-of-truth policy (two tick implementations exist on purpose):
+``physics/step.py`` + ``physics/contacts.py`` are CANONICAL — they are
+the oracle-parity engine, validated tick-for-tick against the compiled
+reference (tools/parity_battery).  This module is their kernel-layout
+twin; any physics change lands in the canonical files first and is
+mirrored here, with tests/test_ctick.py asserting the trajectories stay
+in lockstep.  Game constants live once in constants.py, and the facet
+geometry formulas live once in physics/facet_arena.py (shared by both).
 """
 
 from __future__ import annotations

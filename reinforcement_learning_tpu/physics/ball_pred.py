@@ -34,6 +34,12 @@ def ball_only_tick(ball: BallState, mut: MutatorConfig,
     """One physics tick of the ball with no cars (the ball-relevant subset
     of Arena::Step, Arena.cpp:716-812: sleep, gravity+drag, world contact,
     transform integration, clamps)."""
+    with jax.default_matmul_precision("float32"):
+        return _ball_only_tick(ball, mut, game_mode, use_mesh, dt)
+
+
+def _ball_only_tick(ball, mut, game_mode, use_mesh, dt):
+    # float32 matmul precision matches arena_tick (see step.arena_tick)
     grid = worldmod.get_grid(game_mode) if use_mesh else None
     gravity = jnp.array([0.0, 0.0, mut.gravity_z])
 

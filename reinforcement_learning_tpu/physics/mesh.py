@@ -215,6 +215,41 @@ def _grid_patch(mb: _MeshBuilder, corner_fn, nu: int, nv: int,
                     corner_fn(u1, v1), corner_fn(u0, v1))
 
 
+def _clipped_sheet(mb: _MeshBuilder, planes: np.ndarray, z: float,
+                   inset: float, ex: float, ey: float,
+                   cell: float = 1024.0) -> None:
+    """Horizontal sheet at height ``z``: a regular grid clipped to the
+    inward-offset octagon (Sutherland-Hodgman against the 8 half-planes)."""
+    clip = [(planes[i, :2], planes[i, 2] - inset) for i in range(8)]
+    nx = int(np.ceil(ex / cell))
+    ny = int(np.ceil(ey / cell))
+    for i in range(-nx, nx):
+        for j in range(-ny, ny):
+            poly = [np.array([i * cell, j * cell]),
+                    np.array([(i + 1) * cell, j * cell]),
+                    np.array([(i + 1) * cell, (j + 1) * cell]),
+                    np.array([i * cell, (j + 1) * cell])]
+            for n2, d2 in clip:
+                if not poly:
+                    break
+                out = []
+                for k in range(len(poly)):
+                    p, q = poly[k], poly[(k + 1) % len(poly)]
+                    pin = p @ n2 <= d2 + 1e-9
+                    qin = q @ n2 <= d2 + 1e-9
+                    if pin:
+                        out.append(p)
+                    if pin != qin:
+                        t = (d2 - p @ n2) / ((q - p) @ n2)
+                        out.append(p + (q - p) * t)
+                poly = out
+            if len(poly) < 3:
+                continue
+            for k in range(1, len(poly) - 1):
+                mb.tri(np.append(poly[0], z), np.append(poly[k], z),
+                       np.append(poly[k + 1], z))
+
+
 def build_soccar_mesh(n_fillet: int = 8, n_len: int = 8,
                       n_height: int = 2) -> tuple[np.ndarray, np.ndarray]:
     """Procedural soccar arena collision mesh.
@@ -271,38 +306,10 @@ def build_soccar_mesh(n_fillet: int = 8, n_len: int = 8,
     # from the center would put ~128 triangles in one lookup-grid cell and
     # pad every cell's candidate list to that width; a clipped grid keeps
     # triangles local, like the real game's floor assets.)
-    for z, ring_idx in ((0.0, 0), (H, len(zs) - 1)):
+    for z in (0.0, H):
         inset = _fillet_inset(np.array([z]), rf, rc, H)[0]
-        clip = [(planes[i, :2], planes[i, 2] - inset) for i in range(8)]
-        cell = 1024.0
-        nx = int(np.ceil(C.ARENA_EXTENT_X / cell))
-        ny = int(np.ceil(C.ARENA_EXTENT_Y / cell))
-        for i in range(-nx, nx):
-            for j in range(-ny, ny):
-                poly = [np.array([i * cell, j * cell]),
-                        np.array([(i + 1) * cell, j * cell]),
-                        np.array([(i + 1) * cell, (j + 1) * cell]),
-                        np.array([i * cell, (j + 1) * cell])]
-                # Sutherland-Hodgman clip against the 8 octagon half-planes
-                for n2, d2 in clip:
-                    if not poly:
-                        break
-                    out = []
-                    for k in range(len(poly)):
-                        p, q = poly[k], poly[(k + 1) % len(poly)]
-                        pin = p @ n2 <= d2 + 1e-9
-                        qin = q @ n2 <= d2 + 1e-9
-                        if pin:
-                            out.append(p)
-                        if pin != qin:
-                            t = (d2 - p @ n2) / ((q - p) @ n2)
-                            out.append(p + (q - p) * t)
-                    poly = out
-                if len(poly) < 3:
-                    continue
-                for k in range(1, len(poly) - 1):
-                    mb.tri(np.append(poly[0], z), np.append(poly[k], z),
-                           np.append(poly[k + 1], z))
+        _clipped_sheet(mb, planes, z, inset, C.ARENA_EXTENT_X,
+                       C.ARENA_EXTENT_Y)
 
     # --- goal boxes (sharp edges; the net/posts of the real asset are
     # curved but the reference's scoring threshold is behind the opening)
@@ -325,6 +332,88 @@ def build_soccar_mesh(n_fillet: int = 8, n_len: int = 8,
         # goal back wall (net)
         _grid_patch(mb, lambda u, v: P(-gw + 2 * gw * u, y1, gh * v),
                     n_len, n_height)
+
+    return mb.arrays()
+
+
+def build_hoops_mesh(n_fillet: int = 8, n_len: int = 8,
+                     n_ring: int = 16) -> tuple[np.ndarray, np.ndarray]:
+    """Procedural hoops ("Dunk House") collision mesh.
+
+    The reference loads real hoops meshes (RocketSim.cpp:102-212 with the
+    hoops hash set); those assets don't ship, so — like the soccar mesh —
+    this builds the arena from its known dimensions: the rounded-rectangle
+    bowl (x/y walls + 45-degree corner walls from arena_geom's hoops plane
+    table, floor->wall and wall->ceiling fillets) plus a basket at each
+    end.  The basket rim follows the scoring ellipse exactly
+    (Arena::IsBallScored hoops branch, Arena.cpp:958-971: |y|*0.9 - 2770
+    with radius 716 -> ellipse center |y|=3077.8, semi-axes 716 x 795.6),
+    modeled as a rim lip with inner (net) and outer (pedestal) walls —
+    an approximation of the real basket geometry, self-consistent with
+    the oracle (both engines collide against this same mesh).
+    """
+    from reinforcement_learning_tpu.physics import arena_geom as geom
+
+    ex, ey = C.ARENA_EXTENT_X_HOOPS, C.ARENA_EXTENT_Y_HOOPS
+    H = C.ARENA_HEIGHT_HOOPS
+    rf, rc = FLOOR_FILLET_RADIUS, CEILING_FILLET_RADIUS
+    s = 1.0 / np.sqrt(2.0)
+    ci = float(geom._HOOPS_CORNER_INTERCEPT)
+    # octagon order (consecutive around the perimeter), like soccar's
+    planes = np.array([
+        [1, 0, ex],
+        [s, s, ci * s],
+        [0, 1, ey],
+        [-s, s, ci * s],
+        [-1, 0, ex],
+        [-s, -s, ci * s],
+        [0, -1, ey],
+        [s, -s, ci * s],
+    ], np.float64)
+    zs = _z_samples(H, rf, rc, n_fillet)
+    rings = np.array([_octagon_ring(z, planes, rf, rc, H) for z in zs])
+
+    mb = _MeshBuilder()
+    # wall strips (no goal cut in hoops — solid walls)
+    for side in range(8):
+        for k in range(len(zs) - 1):
+            z0, z1 = zs[k], zs[k + 1]
+            a0, b0 = rings[k][side - 1], rings[k][side]
+            a1, b1 = rings[k + 1][side - 1], rings[k + 1][side]
+            for j in range(n_len):
+                u0, u1 = j / n_len, (j + 1) / n_len
+                mb.quad(np.append(a0 + (b0 - a0) * u0, z0),
+                        np.append(a0 + (b0 - a0) * u1, z0),
+                        np.append(a1 + (b1 - a1) * u1, z1),
+                        np.append(a1 + (b1 - a1) * u0, z1))
+
+    for z in (0.0, H):
+        inset = _fillet_inset(np.array([z]), rf, rc, H)[0]
+        _clipped_sheet(mb, planes, z, inset, ex, ey)
+
+    # baskets: rim ellipse from the scoring test, both ends
+    a_x = C.HOOPS_GOAL_RADIUS                       # 716
+    b_y = C.HOOPS_GOAL_RADIUS / C.HOOPS_GOAL_SCALE_Y
+    cy = C.HOOPS_GOAL_OFFSET_Y / C.HOOPS_GOAL_SCALE_Y
+    rim_z, net_z, lip = 365.0, 120.0, 40.0
+    for sy in (1.0, -1.0):
+        th = np.linspace(0, 2 * np.pi, n_ring + 1)
+        for t0, t1 in zip(th[:-1], th[1:]):
+            pts = []
+            for t, grow in ((t0, 0.0), (t1, 0.0), (t0, lip), (t1, lip)):
+                x = (a_x + grow) * np.cos(t)
+                y = sy * (cy + (b_y + grow) * np.sin(t))
+                pts.append((x, y))
+            (i0, i1, o0, o1) = pts
+            # skip segments entirely behind the back wall
+            if min(abs(i0[1]), abs(i1[1]), abs(o0[1]), abs(o1[1])) > ey:
+                continue
+            # inner (net) wall
+            mb.quad((*i0, rim_z), (*i1, rim_z), (*i1, net_z), (*i0, net_z))
+            # top lip
+            mb.quad((*i0, rim_z), (*i1, rim_z), (*o1, rim_z), (*o0, rim_z))
+            # outer (pedestal) wall
+            mb.quad((*o0, rim_z), (*o1, rim_z), (*o1, net_z), (*o0, net_z))
 
     return mb.arrays()
 
@@ -1016,12 +1105,17 @@ HOOPS_ARENA_MESH_HASHES = frozenset([
 def load_arena_mesh(mesh_dir: str | None = None,
                     cell_size: float = 512.0,
                     margin: float = 160.0,
-                    verify_hashes: bool = False) -> MeshGrid:
+                    verify_hashes: bool = False,
+                    game_mode: str = "soccar") -> MeshGrid:
     """Build the arena MeshGrid: from real ``.cmf`` assets when
     ``mesh_dir`` is given (merging all meshes, like the reference adds every
-    mesh to one static world), else from the procedural soccar mesh."""
+    mesh to one static world), else from the procedural arena for the game
+    mode (soccar or hoops — RocketSim.cpp GetArenaCollisionShapes)."""
     if mesh_dir is None:
-        verts, tris = build_soccar_mesh()
+        if game_mode == "hoops":
+            verts, tris = build_hoops_mesh()
+        else:
+            verts, tris = build_soccar_mesh()
         # reorder triangles into bullet's BVH traversal order so candidate
         # index order == manifold insertion order (the BVH was built from
         # BT-unit coordinates — quantization is unit-sensitive)

@@ -173,7 +173,19 @@ def arena_tick(phys: PhysicsState, teams: jnp.ndarray, key,
     Car.cpp:74-87).  Only cross-object effects (ball impulses, car-car,
     pad pickup) carry explicit alive masks.  This keeps the kernel count
     per tick low — selects fuse, per-stage masking chains don't.
+
+    Matmul precision: the tick's einsums (inertia-tensor applications,
+    rotations) MUST run at true float32 — TPU's default bf16 matmul
+    passes silently degrade the solver (~0.3 uu/s per step of drift vs
+    the CPU/reference semantics; the component-form megakernel is scalar
+    math and unaffected).
     """
+    with jax.default_matmul_precision("float32"):
+        return _arena_tick_impl(phys, teams, key, params)
+
+
+def _arena_tick_impl(phys: PhysicsState, teams: jnp.ndarray, key,
+                     params: ArenaParams) -> PhysicsState:
     mut = params.mutators
     cfg = params.car_config
     dt = params.dt

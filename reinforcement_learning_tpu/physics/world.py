@@ -32,11 +32,10 @@ def init(mesh_dir: str | None = None, verify_hashes: bool = False) -> None:
 
 
 def get_grid(game_mode: str = "soccar"):
-    """The baked MeshGrid for a game mode, or None when the mode has no
-    mesh asset (falls back to analytic planes)."""
+    """The baked MeshGrid for a game mode (soccar and hoops both have
+    procedural arenas; heatseeker/snowday share the soccar mesh, mirroring
+    RocketSim.cpp GetArenaCollisionShapes)."""
     key = "hoops" if game_mode == "hoops" else "soccar"
-    if key == "hoops":
-        return None  # no procedural hoops mesh yet; plane arena
     if key not in _GRIDS:
         import jax
 
@@ -44,7 +43,7 @@ def get_grid(game_mode: str = "soccar"):
         # get_grid is usually first hit inside a jit trace; the bake must
         # produce concrete (non-tracer) arrays for the cache
         with jax.ensure_compile_time_eval():
-            _GRIDS[key] = meshmod.load_arena_mesh(_MESH_DIR)
+            _GRIDS[key] = meshmod.load_arena_mesh(_MESH_DIR, game_mode=key)
     return _GRIDS[key]
 
 

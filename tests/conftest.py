@@ -16,7 +16,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# RLT_TEST_TPU=1 keeps the real accelerator visible (used for the heavy
+# megakernel tests whose component-form graphs compile in ~30s on TPU but
+# pathologically slowly on XLA:CPU).
+if not os.environ.get("RLT_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is dominated by XLA compiles on
 # small CPU hosts; cache them across runs (keyed by HLO, safe on change).

@@ -161,3 +161,34 @@ def test_load_arena_mesh_roundtrip(tmp_path, soccar):
     meshmod.write_cmf(str(tmp_path / "a.cmf"), verts, tris)
     g = meshmod.load_arena_mesh(str(tmp_path))
     assert g.tri_a.shape[0] == len(tris)
+
+
+def test_hoops_procedural_mesh():
+    """Hoops bowl + baskets: grid bakes, walls/fillets/rim are queryable."""
+    from reinforcement_learning_tpu import constants as C
+    from reinforcement_learning_tpu.physics import mesh as meshmod
+
+    verts, tris = meshmod.build_hoops_mesh()
+    assert len(tris) > 500
+    assert np.abs(verts[:, 2]).max() <= C.ARENA_HEIGHT_HOOPS + 1e-3
+    grid = meshmod.MeshGrid.bake(verts, tris)
+
+    # ball resting against the x+ wall: one contact at ~radius
+    r = C.BALL_COLLISION_RADIUS_HOOPS
+    pos = jnp.asarray([C.ARENA_EXTENT_X_HOOPS - r + 0.5, 0.0, 500.0])
+    n, depth, act = grid.sphere_contacts(pos, r)
+    assert bool(jnp.any(act))
+
+    # ball dropped onto the rim lip: hits basket geometry at z~365
+    cy = C.HOOPS_GOAL_OFFSET_Y / C.HOOPS_GOAL_SCALE_Y
+    rim_x = C.HOOPS_GOAL_RADIUS + 20.0
+    hit, dist, nrm = grid.raycast(
+        jnp.asarray([rim_x, cy, 500.0]),
+        jnp.asarray([0.0, 0.0, -1.0]), 400.0)
+    assert bool(hit) and 100.0 < float(dist) < 160.0  # 500 - 365 = 135
+
+    # wheel-style ray at mid-field hits nothing above the floor plane
+    hit2, dist2, _ = grid.raycast(
+        jnp.asarray([0.0, 0.0, 300.0]), jnp.asarray([0.0, 0.0, -1.0]),
+        100.0)
+    assert not bool(hit2)
