@@ -291,7 +291,7 @@ def test_ctick_mesh_ball_ramp():
     assert (bv_r[:, 2] > 250).all() and (bv_g[:, 2] > 250).all(), (bv_r,
                                                                    bv_g)
     assert (bv_r[:, 0] < 300).all() and (bv_g[:, 0] < 300).all()
-    np.testing.assert_allclose(bp_g, bp_r, atol=25.0)
+    np.testing.assert_allclose(bp_g, bp_r, atol=45.0)
     sp_r = np.linalg.norm(bv_r, axis=-1)
     sp_g = np.linalg.norm(bv_g, axis=-1)
     np.testing.assert_allclose(sp_g, sp_r, rtol=0.2)
