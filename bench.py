@@ -1,15 +1,18 @@
 """End-to-end training throughput benchmark.
 
-Mirrors the reference's logged run configuration (BASELINE.md: 512 arenas
-x 2v2 = 2048 players, tickSkip 8 / actionDelay 7, AdvancedObs 167,
-DefaultAction 90, shared 384x2 + policy 384x3 + critic 384x3 ≈ 1.14M
-params, ~100k timesteps/iteration, minibatch 50k, 2 epochs) and measures
-overall env-steps/s of the fused collect+GAE+learn iteration on the local
-accelerator.
+Mirrors the reference's logged run configuration (BASELINE.md: tickSkip
+8 / actionDelay 7, AdvancedObs 167, DefaultAction 90, shared 384x2 +
+policy 384x3 + critic 384x3 ≈ 1.14M params, ~100k timesteps/iteration,
+minibatch 50k, 2 epochs) at 1024 arenas x 2v2 = 4096 players (the
+reference's run used 512 arenas; a TPU chip wants the larger batch —
+README's perf table states both) and measures overall env-steps/s of
+the fused collect+GAE+learn iteration on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: 100,677 steps/s overall steady state (reference run_out.log,
-iter 690).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"compile_cache" ("cold"|"warm"), "warmup_s"} — so recorded BENCH files
+are self-describing about whether warmup hit the persistent compilation
+cache.  Baseline: 100,677 steps/s overall steady state (reference
+run_out.log, iter 690).
 """
 
 import json
@@ -35,6 +38,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    cache_state = ("warm" if os.path.isdir(cache_dir) and os.listdir(
+        cache_dir) else "cold")
 
     from reinforcement_learning_tpu.envs.env import EnvConfig, RocketLeagueEnv
     from reinforcement_learning_tpu.learn.ppo import PPOConfig
@@ -68,7 +73,8 @@ def main():
     t0 = time.perf_counter()
     state, metrics = trainer.train_iteration(state)
     jax.block_until_ready((state, metrics))
-    print(f"# warmup (compile+run): {time.perf_counter() - t0:.1f}s",
+    warmup_s = time.perf_counter() - t0
+    print(f"# warmup (compile+run, {cache_state} cache): {warmup_s:.1f}s",
           file=sys.stderr)
 
     # Sustained measurement: wall time over many iterations with ONE
@@ -91,6 +97,8 @@ def main():
         "value": round(best, 1),
         "unit": "steps/s",
         "vs_baseline": round(best / BASELINE_STEPS_PER_SEC, 3),
+        "compile_cache": cache_state,
+        "warmup_s": round(warmup_s, 1),
     }))
 
 

@@ -420,9 +420,15 @@ bool drain_command_connections(Server& srv, int lsock) {
     if (::poll(&p, 1, 0) <= 0 || !(p.revents & POLLIN)) return true;
     const int cfd = ::accept(lsock, nullptr, nullptr);
     if (cfd < 0) return true;
+    // Commands are short one-shot sends; a client that holds the socket
+    // open (or trickles bytes) must not stall the packet stream, so each
+    // read waits at most 200ms and the connection is dropped on timeout.
     std::string text;
     char buf[512];
     for (;;) {
+      pollfd cp{cfd, POLLIN, 0};
+      if (::poll(&cp, 1, 200) <= 0 || !(cp.revents & (POLLIN | POLLHUP)))
+        break;  // slow or idle client: drop it
       const ssize_t r = ::read(cfd, buf, sizeof buf);
       if (r <= 0) break;
       text.append(buf, (size_t)r);

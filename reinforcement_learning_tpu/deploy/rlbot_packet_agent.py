@@ -70,8 +70,10 @@ def translate_game_tick_packet(packet, pad_map: np.ndarray | None = None):
                      ph.angular_velocity.z),
             boost=float(car.boost),
             team=int(car.team),
-            is_on_ground=not bool(getattr(car, "jumped", False)) or bool(
-                getattr(car, "has_wheel_contact", True)),
+            # isOnGround = hasWheelContact() alone (RLBotClient.cpp:54);
+            # an airborne never-jumped car (drove off a wall) is NOT
+            # grounded.
+            is_on_ground=bool(getattr(car, "has_wheel_contact", True)),
             has_jumped=bool(getattr(car, "jumped", False)),
             has_double_jumped=bool(getattr(car, "double_jumped", False)),
             is_demoed=bool(getattr(car, "is_demolished", False)),

@@ -98,15 +98,21 @@ class BallPredTracker:
 
     def update(self, ball: BallState) -> BallState:
         """UpdatePredFromArena: refresh the whole horizon from the current
-        ball state (full re-predict; one fused scan)."""
-        self.pred = predict_ball(ball, self.mut, self.num_pred_ticks,
-                                 self.game_mode, self.use_mesh)
+        ball state (full re-predict; one fused scan).  Like the reference's
+        ``predData`` (BallPredTracker.cpp:37-60), entry 0 is the CURRENT
+        state and entry t is the state after t ticks."""
+        traj = predict_ball(ball, self.mut, self.num_pred_ticks - 1,
+                            self.game_mode, self.use_mesh)
+        self.pred = jax.tree.map(
+            lambda cur, fut: jnp.concatenate([cur[None], fut], axis=0),
+            ball, traj)
         return self.pred
 
     def get_ball_state_for_time(self, delta_time: float) -> BallState:
-        """GetBallStateForTime (BallPredTracker.cpp:71-79): nearest
-        predicted tick for a future time in seconds."""
+        """GetBallStateForTime (BallPredTracker.cpp:71-79): floors
+        ``predTime / tickTime`` into predData, so delta_time=0 returns the
+        current state."""
         assert self.pred is not None, "call update() first"
-        idx = int(round(delta_time * 120.0)) - 1
+        idx = int(delta_time * 120.0)
         idx = max(0, min(self.num_pred_ticks - 1, idx))
         return jax.tree.map(lambda x: x[idx], self.pred)

@@ -49,8 +49,14 @@ def test_tracker_api():
     tr = ball_pred.BallPredTracker(num_pred_ticks=60)
     pred = tr.update(ball)
     assert pred.pos.shape == (60, 3)
-    s = tr.get_ball_state_for_time(0.25)  # tick 30
+    # predData[0] is the CURRENT state (BallPredTracker.cpp semantics)
+    np.testing.assert_allclose(np.asarray(pred.pos[0]),
+                               np.asarray(ball.pos), atol=1e-6)
+    s = tr.get_ball_state_for_time(0.0)
     np.testing.assert_allclose(np.asarray(s.pos),
-                               np.asarray(pred.pos[29]), atol=1e-6)
+                               np.asarray(ball.pos), atol=1e-6)
+    s = tr.get_ball_state_for_time(0.25)  # floor(0.25 * 120) = tick 30
+    np.testing.assert_allclose(np.asarray(s.pos),
+                               np.asarray(pred.pos[30]), atol=1e-6)
     # falling under gravity
     assert float(pred.pos[30, 2]) < 1000.0

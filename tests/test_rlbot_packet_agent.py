@@ -51,6 +51,67 @@ def _fake_game_tick_packet(p):
     return pkt, [tuple(ref[i]) for i in order]
 
 
+def test_translate_field_coverage():
+    """Every translated field is asserted at least once, including the
+    car-state flags the scripted match never varies: an airborne car that
+    NEVER jumped (drove off a wall) must be is_on_ground=False —
+    isOnGround = hasWheelContact() alone (RLBotClient.cpp:54)."""
+    def car(wheel, jumped, dj, demo):
+        return types.SimpleNamespace(
+            physics=types.SimpleNamespace(
+                location=_vec(100, 200, 300),
+                rotation=types.SimpleNamespace(pitch=0.1, yaw=0.2,
+                                               roll=0.3),
+                velocity=_vec(10, 20, 30),
+                angular_velocity=_vec(1, 2, 3)),
+            boost=77.0, team=1, jumped=jumped, double_jumped=dj,
+            is_demolished=demo, has_wheel_contact=wheel)
+
+    cars = [
+        car(wheel=True, jumped=False, dj=False, demo=False),   # grounded
+        car(wheel=False, jumped=False, dj=False, demo=False),  # fell off
+        car(wheel=False, jumped=True, dj=False, demo=False),   # jumped
+        car(wheel=False, jumped=True, dj=True, demo=False),    # dbl jump
+        car(wheel=True, jumped=False, dj=False, demo=True),    # demoed
+    ]
+    ball = types.SimpleNamespace(physics=types.SimpleNamespace(
+        location=_vec(5, 6, 93), velocity=_vec(-1, -2, -3),
+        angular_velocity=_vec(0.5, 0.25, -0.5)))
+    ref = np.asarray(C.BOOST_PAD_LOCS_SOCCAR)
+    boosts = [types.SimpleNamespace(is_active=(i % 2 == 0),
+                                    timer=float(i))
+              for i in range(len(ref))]
+    pkt = types.SimpleNamespace(
+        game_cars=cars, num_cars=len(cars), game_ball=ball,
+        game_boosts=boosts, num_boost=len(boosts),
+        game_info=types.SimpleNamespace(seconds_elapsed=12.5))
+    pad_map = rpa.build_pad_map([tuple(r) for r in ref])
+
+    out = rpa.translate_game_tick_packet(pkt, pad_map)
+    assert out["seconds_elapsed"] == 12.5
+    assert out["ball_pos"] == (5.0, 6.0, 93.0)
+    assert out["ball_vel"] == (-1.0, -2.0, -3.0)
+    assert out["ball_ang_vel"] == (0.5, 0.25, -0.5)
+    assert [p["is_on_ground"] for p in out["players"]] == [
+        True, False, False, False, True]
+    assert [p["has_jumped"] for p in out["players"]] == [
+        False, False, True, True, False]
+    assert [p["has_double_jumped"] for p in out["players"]] == [
+        False, False, False, True, False]
+    assert [p["is_demoed"] for p in out["players"]] == [
+        False, False, False, False, True]
+    p0 = out["players"][0]
+    assert p0["pos"] == (100.0, 200.0, 300.0)
+    assert (p0["pitch"], p0["yaw"], p0["roll"]) == (0.1, 0.2, 0.3)
+    assert p0["vel"] == (10.0, 20.0, 30.0)
+    assert p0["ang_vel"] == (1.0, 2.0, 3.0)
+    assert p0["boost"] == 77.0 and p0["team"] == 1
+    np.testing.assert_array_equal(
+        out["pads_active"], [i % 2 == 0 for i in range(len(ref))])
+    np.testing.assert_allclose(out["pads_timer"],
+                               np.arange(len(ref), dtype=np.float32))
+
+
 def test_pad_map_roundtrip():
     ref = np.asarray(C.BOOST_PAD_LOCS_SOCCAR)
     order = np.random.RandomState(0).permutation(len(ref))
