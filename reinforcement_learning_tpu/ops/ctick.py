@@ -43,6 +43,7 @@ import numpy as np
 
 from reinforcement_learning_tpu import constants as C
 from reinforcement_learning_tpu.physics import arena_geom as geom
+from reinforcement_learning_tpu.physics import formulas
 from reinforcement_learning_tpu.ops import cvec as cv
 from reinforcement_learning_tpu.ops.cvec import (
     vadd, vcross, vdot, vnorm, vnormalize, vscale, vsub, vwhere, vzero)
@@ -90,10 +91,7 @@ def make_consts(params, teams) -> TickConsts:
     cfg = params.car_config
     mut = params.mutators
     size = np.asarray(cfg.hitbox_size, np.float64)
-    s_bt = size * C.UU_TO_BT
-    ix = mut.car_mass / 12.0 * (s_bt[1] ** 2 + s_bt[2] ** 2)
-    iy = mut.car_mass / 12.0 * (s_bt[0] ** 2 + s_bt[2] ** 2)
-    iz = mut.car_mass / 12.0 * (s_bt[0] ** 2 + s_bt[1] ** 2)
+    inv_i = formulas.box_inv_inertia_diag_bt(mut.car_mass, size)
 
     he = size / 2.0
     off = np.asarray(cfg.hitbox_offset, np.float64)
@@ -112,7 +110,7 @@ def make_consts(params, teams) -> TickConsts:
         mut=mut,
         half_extents=tuple(he),
         hitbox_offset=tuple(off),
-        inv_i_local=(1.0 / ix, 1.0 / iy, 1.0 / iz),
+        inv_i_local=tuple(float(v) for v in inv_i),
         wheel_offsets=tuple(map(tuple, cfg.wheel_offsets())),
         wheel_radii=tuple(float(r) for r in cfg.wheel_radii()),
         sus_rest=tuple(float(r) for r in cfg.sus_rest_lengths()),

@@ -27,6 +27,7 @@ from flax import struct
 from reinforcement_learning_tpu import constants as C
 from reinforcement_learning_tpu import maths as m
 from reinforcement_learning_tpu.physics import arena_geom as geom
+from reinforcement_learning_tpu.physics import formulas
 from reinforcement_learning_tpu.physics.state import (
     BOOST, HANDBRAKE, JUMP, PITCH, ROLL, STEER, THROTTLE, YAW, CarConfig,
     CarsState, MutatorConfig)
@@ -47,20 +48,22 @@ class WheelControlsState:
             steer_angle=jnp.zeros((num_cars,), jnp.float32),
             engine_force=jnp.zeros((num_cars,), jnp.float32),
             brake=jnp.zeros((num_cars,), jnp.float32),
-            lat_friction=jnp.ones((num_cars, 4), jnp.float32),
-            long_friction=jnp.ones((num_cars, 4), jnp.float32),
+            # btWheelInfoRL inits m_latFriction/m_longFriction to ZERO
+            # (btVehicleRL.h:16); wheels that have never touched ground
+            # produce no friction impulse on their first contact tick —
+            # the values only update in _UpdateWheels AFTER that tick's
+            # calcFrictionImpulses consumed the stale ones.
+            lat_friction=jnp.zeros((num_cars, 4), jnp.float32),
+            long_friction=jnp.zeros((num_cars, 4), jnp.float32),
         )
 
 
 def box_inv_inertia_local(mass: float, full_size_uu) -> jnp.ndarray:
     """Diagonal inverse inertia of the hitbox in BT units
-    (bullet btBoxShape::calculateLocalInertia)."""
-    s = jnp.asarray(full_size_uu, jnp.float32) * C.UU_TO_BT
-    lx2, ly2, lz2 = s[0] ** 2, s[1] ** 2, s[2] ** 2
-    ix = mass / 12.0 * (ly2 + lz2)
-    iy = mass / 12.0 * (lx2 + lz2)
-    iz = mass / 12.0 * (lx2 + ly2)
-    return 1.0 / jnp.stack([ix, iy, iz])
+    (bullet btBoxShape::calculateLocalInertia on the margin-adjusted
+    extents — see formulas.box_inv_inertia_diag_bt)."""
+    return jnp.asarray(formulas.box_inv_inertia_diag_bt(mass, full_size_uu),
+                       jnp.float32)
 
 
 def inv_inertia_world(rot: jnp.ndarray, inv_inertia_diag: jnp.ndarray

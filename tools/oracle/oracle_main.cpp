@@ -183,12 +183,19 @@ int main(int argc, char** argv) {
             if (std::getenv("RS_ORACLE_DUMP")) dumpManifolds(arena, t);
             if (std::getenv("RS_ORACLE_DUMP_WHEELS")) {
                 for (size_t c = 0; c < cars.size(); c++) {
+                    if (t == 0) {
+                        btVector3 ii = cars[c]->_rigidBody.getInvInertiaDiagLocal();
+                        std::fprintf(stderr, "II c=%zu invI=(%.9g,%.9g,%.9g)\n",
+                                     c, ii.x(), ii.y(), ii.z());
+                    }
                     auto& veh = cars[c]->_bulletVehicle;
                     for (int w = 0; w < veh.getNumWheels(); w++) {
                         auto& wi = veh.m_wheelInfo[w];
                         std::fprintf(stderr,
                             "WH t=%d c=%zu w=%d hit=%d len=%.5f relv=%.5f "
-                            "force=%.4f invdot=%.5f cp=(%.4f,%.4f,%.4f)\n",
+                            "force=%.4f invdot=%.5f cp=(%.4f,%.4f,%.4f) "
+                            "steer=%.6f latf=%.6f longf=%.6f eng=%.6f "
+                            "brk=%.6f imp=(%.6f,%.6f,%.6f)\n",
                             t, c, w, (int)wi.m_raycastInfo.m_isInContact,
                             wi.m_raycastInfo.m_suspensionLength,
                             wi.m_suspensionRelativeVelocity,
@@ -196,7 +203,11 @@ int main(int argc, char** argv) {
                             wi.m_clippedInvContactDotSuspension,
                             wi.m_raycastInfo.m_contactPointWS.x(),
                             wi.m_raycastInfo.m_contactPointWS.y(),
-                            wi.m_raycastInfo.m_contactPointWS.z());
+                            wi.m_raycastInfo.m_contactPointWS.z(),
+                            wi.m_steerAngle, wi.m_latFriction,
+                            wi.m_longFriction, wi.m_engineForce, wi.m_brake,
+                            wi.m_impulse.x(), wi.m_impulse.y(),
+                            wi.m_impulse.z());
                     }
                 }
             }
