@@ -65,6 +65,7 @@ class TickConsts:
     half_extents: tuple     # (3,)
     hitbox_offset: tuple    # (3,)
     inv_i_local: tuple      # (3,) diagonal inverse inertia (BT units)
+    he_eff_bt: tuple        # (3,) margin-adjusted half extents (BT)
     wheel_offsets: tuple    # (4, 3)
     wheel_radii: tuple      # (4,)
     sus_rest: tuple         # (4,)
@@ -111,6 +112,9 @@ def make_consts(params, teams) -> TickConsts:
         half_extents=tuple(he),
         hitbox_offset=tuple(off),
         inv_i_local=tuple(float(v) for v in inv_i),
+        he_eff_bt=tuple(
+            float(v)
+            for v in formulas.box_effective_half_extents_bt(size)),
         wheel_offsets=tuple(map(tuple, cfg.wheel_offsets())),
         wheel_radii=tuple(float(r) for r in cfg.wheel_radii()),
         sus_rest=tuple(float(r) for r in cfg.sus_rest_lengths()),
@@ -1553,61 +1557,126 @@ def _mslice(M, i):
     return tuple(tuple(M[r][c][i] for c in range(3)) for r in range(3))
 
 
-def _obb_sat_pair(he, Ri, Rj, ci, cj):
-    """15-axis SAT for one OBB pair (twin of contacts._obb_pair_sat for a
-    single (i, j)).  Returns (sep, n Vec oriented i->j, contact_pt Vec)."""
-    d = vsub(cj, ci)
-    axes_i = [(Ri[0][kk], Ri[1][kk], Ri[2][kk]) for kk in range(3)]
-    axes_j = [(Rj[0][kk], Rj[1][kk], Rj[2][kk]) for kk in range(3)]
-    cand = axes_i + axes_j + [vcross(a, b) for a in axes_i for b in axes_j]
+def _pgs_pair(v0, w0, v1, w1, r0s, r1s, n, act, inv_mass, I0, I1,
+              rest_coef, mu, deps, dt, v0_pre, v1_pre, iterations=10):
+    """Component-form twin of contacts.pgs_rows_two_body for ONE pair's
+    4-row manifold: bullet-order sequential impulse (normal rows then
+    friction rows per iteration, 10 iterations), restitution from
+    pre-force velocities, one setup-time friction direction per row,
+    split-impulse positional rows.
 
-    best_sep = None
-    best_ax = None
-    best_da = None
-    for axis in cand:
-        alen = vnorm(axis)
-        ok = alen > 1e-6
-        ax = vscale(axis, 1.0 / jnp.maximum(alen, 1e-6))
-        radius = sum(he[kk] * jnp.abs(vdot(ax, axes_i[kk]))
-                     for kk in range(3)) \
-            + sum(he[kk] * jnp.abs(vdot(ax, axes_j[kk])) for kk in range(3))
-        dist_a = vdot(ax, d)
-        sep_a = jnp.where(ok, jnp.abs(dist_a) - radius, -jnp.inf)
-        if best_sep is None:
-            best_sep, best_ax, best_da = sep_a, ax, dist_a
-        else:
-            better = sep_a > best_sep
-            best_ax = vwhere(better, ax, best_ax)
-            best_da = jnp.where(better, dist_a, best_da)
-            best_sep = jnp.maximum(best_sep, sep_a)
-    n = vscale(best_ax, jnp.where(best_da < 0, -1.0, 1.0))
+    r0s/r1s: list of 4 lever-arm Vecs (BT); act: list of 4 bools; deps:
+    list of 4 penetration depths (>= 0).  Returns (dv0, dw0, dv1, dw1,
+    push0, push1, turn0, turn1)."""
+    zero = jnp.zeros_like(v0[0])
+    jac_inv, rest, t_dir, t_jac_inv, push_tgt, actf = [], [], [], [], [], []
+    for p in range(4):
+        r0, r1 = r0s[p], r1s[p]
+        ang0 = cv.matvec(I0, vcross(r0, n))
+        ang1 = cv.matvec(I1, vcross(r1, n))
+        denom = (2.0 * inv_mass + vdot(n, vcross(ang0, r0))
+                 + vdot(n, vcross(ang1, r1)))
+        jac_inv.append(1.0 / jnp.maximum(denom, 1e-12))
+        rel_rest = vdot(n, vsub(vadd(v0_pre, vcross(w0, r0)),
+                                vadd(v1_pre, vcross(w1, r1))))
+        rest.append(_restitution_rhs(rel_rest, rest_coef))
+        rel_v = vsub(vadd(v0, vcross(w0, r0)), vadd(v1, vcross(w1, r1)))
+        tang = vsub(rel_v, vscale(n, vdot(n, rel_v)))
+        t_len = vnorm(tang)
+        td = vwhere(t_len > 1.49e-8,
+                    vscale(tang, 1.0 / jnp.maximum(t_len, 1e-12)),
+                    _plane_space_k(n))
+        t_dir.append(td)
+        f_ang0 = cv.matvec(I0, vcross(r0, td))
+        f_ang1 = cv.matvec(I1, vcross(r1, td))
+        t_den = (2.0 * inv_mass + vdot(td, vcross(f_ang0, r0))
+                 + vdot(td, vcross(f_ang1, r1)))
+        t_jac_inv.append(1.0 / jnp.maximum(t_den, 1e-12))
+        push_tgt.append(jnp.maximum(deps[p], 0.0) * (C.SOLVER_ERP2 / dt))
+        actf.append(act[p].astype(zero.dtype))
 
-    # support points: zero near-perpendicular components so face contacts
-    # land on face centers
-    def _support(axes, center, nvec):
-        out = center
-        for kk in range(3):
-            c = vdot(nvec, axes[kk])
-            s = jnp.where(jnp.abs(c) > 1e-3, jnp.sign(c), 0.0) * he[kk]
-            out = vadd(out, vscale(axes[kk], s))
-        return out
+    def _apply(acc, direction, r0, r1, dj):
+        dv0, dw0, dv1, dw1 = acc
+        imp = vscale(direction, dj)
+        dv0 = vadd(dv0, vscale(imp, inv_mass))
+        dw0 = vadd(dw0, cv.matvec(I0, vcross(r0, imp)))
+        dv1 = vsub(dv1, vscale(imp, inv_mass))
+        dw1 = vsub(dw1, cv.matvec(I1, vcross(r1, imp)))
+        return dv0, dw0, dv1, dw1
 
-    pa = _support(axes_i, ci, n)
-    pb = _support(axes_j, cj, cv.vneg(n))
-    contact_pt = vscale(vadd(pa, pb), 0.5)
-    return best_sep, n, contact_pt
+    def _vel_iter(_, carry):
+        (dv0, dw0, dv1, dw1), j_n, j_t = carry
+        j_n, j_t = list(j_n), list(j_t)
+        acc = (dv0, dw0, dv1, dw1)
+        for p in range(4):
+            r0, r1 = r0s[p], r1s[p]
+            dv0, dw0, dv1, dw1 = acc
+            rel = vdot(n, vsub(vadd(vadd(v0, dv0), vcross(vadd(w0, dw0),
+                                                          r0)),
+                               vadd(vadd(v1, dv1), vcross(vadd(w1, dw1),
+                                                          r1))))
+            dj = (rest[p] - rel) * jac_inv[p]
+            new_acc = jnp.maximum(j_n[p] + dj, 0.0)
+            dj = (new_acc - j_n[p]) * actf[p]
+            acc = _apply(acc, n, r0, r1, dj)
+            j_n[p] = j_n[p] + dj
+        for p in range(4):
+            r0, r1 = r0s[p], r1s[p]
+            td = t_dir[p]
+            dv0, dw0, dv1, dw1 = acc
+            rel = vdot(td, vsub(vadd(vadd(v0, dv0), vcross(vadd(w0, dw0),
+                                                           r0)),
+                                vadd(vadd(v1, dv1), vcross(vadd(w1, dw1),
+                                                           r1))))
+            dj = -rel * t_jac_inv[p]
+            lim = mu * j_n[p]
+            new_acc = jnp.clip(j_t[p] + dj, -lim, lim)
+            dj = (new_acc - j_t[p]) * actf[p]
+            dj = jnp.where(j_n[p] > 0, dj, 0.0)
+            acc = _apply(acc, td, r0, r1, dj)
+            j_t[p] = j_t[p] + dj
+        return acc, tuple(j_n), tuple(j_t)
+
+    z3 = vzero(zero)
+    init = ((z3, z3, z3, z3), (zero,) * 4, (zero,) * 4)
+    (dv0, dw0, dv1, dw1), _, _ = jax.lax.fori_loop(
+        0, iterations, _vel_iter, init)
+
+    def _pos_iter(_, carry):
+        (pv0, pw0, pv1, pw1), j_p = carry
+        j_p = list(j_p)
+        acc = (pv0, pw0, pv1, pw1)
+        for p in range(4):
+            r0, r1 = r0s[p], r1s[p]
+            pv0, pw0, pv1, pw1 = acc
+            rel = vdot(n, vsub(vadd(pv0, vcross(pw0, r0)),
+                               vadd(pv1, vcross(pw1, r1))))
+            dj = (push_tgt[p] - rel) * jac_inv[p]
+            new_acc = jnp.maximum(j_p[p] + dj, 0.0)
+            dj = (new_acc - j_p[p]) * actf[p]
+            acc = _apply(acc, n, r0, r1, dj)
+            j_p[p] = j_p[p] + dj
+        return acc, tuple(j_p)
+
+    (pv0, pw0, pv1, pw1), _ = jax.lax.fori_loop(
+        0, iterations, _pos_iter, ((z3, z3, z3, z3), (zero,) * 4))
+
+    te = C.SPLIT_IMPULSE_TURN_ERP * dt
+    return (dv0, dw0, dv1, dw1, vscale(pv0, dt), vscale(pv1, dt),
+            vscale(pw0, te), vscale(pw1, te))
 
 
 def _car_car(k: TickConsts, st, inv_iw, alive, vel_pre):
-    """contacts.car_car_interactions over static unordered pairs: OBB SAT
-    contact, central impulse + friction row, split-impulse pushout; bump
-    logic reads pre-force velocities.
+    """contacts.car_car_interactions over static unordered pairs: dBoxBox
+    clamped-corner manifold (box_box.box_box_clamped_components), 4-row
+    two-body sequential impulse with per-point friction and split-impulse
+    pushout; bump logic reads pre-force velocities.
 
-    Returns (dvel (C Vec), dang, push, cache_dv, got_demoed,
+    Returns (dvel (C Vec), dang, push, turn, cache_dv, got_demoed,
     contact_updates, bump_latch (4 per-car bools dict))."""
+    from reinforcement_learning_tpu.physics import box_box
     mut = k.mut
     Cn = k.num_cars
-    he = k.half_extents
     inv_mass = 1.0 / mut.car_mass
 
     box_center = vadd(st['pos'], cv.matvec(st['rot'],
@@ -1619,6 +1688,7 @@ def _car_car(k: TickConsts, st, inv_iw, alive, vel_pre):
     dvel = [vzero(zeroS) for _ in range(Cn)]
     dang = [vzero(zeroS) for _ in range(Cn)]
     push = [vzero(zeroS) for _ in range(Cn)]
+    turn = [vzero(zeroS) for _ in range(Cn)]
     cache_dv = [vzero(zeroS) for _ in range(Cn)]
     got_demoed = [falseS for _ in range(Cn)]
     bumped_any = [falseS for _ in range(Cn)]
@@ -1638,44 +1708,58 @@ def _car_car(k: TickConsts, st, inv_iw, alive, vel_pre):
             Ri = _mslice(st['rot'], i)
             Rj = _mslice(st['rot'], j)
 
-            sep, n, cp = _obb_sat_pair(he, Ri, Rj, ci, cj)
-            overlap = (sep < 0.0) & alive[i] & alive[j]
+            mfc = box_box.box_box_clamped_components(
+                vscale(ci, C.UU_TO_BT), Ri, k.he_eff_bt,
+                vscale(cj, C.UU_TO_BT), Rj, k.he_eff_bt)
+            pair_alive = alive[i] & alive[j]
+            overlap = mfc['overlap'] & pair_alive
+            act = [a & pair_alive for a in mfc['active']]
+            n_on_b = cv.vneg(mfc['normal'])   # +impulse on car i
+            pos_i_bt = vscale(_vslice(st['pos'], i), C.UU_TO_BT)
+            pos_j_bt = vscale(_vslice(st['pos'], j), C.UU_TO_BT)
+            posB = mfc['points']
+            posA = [vadd(posB[p], vscale(mfc['normal'], mfc['depth'][p]))
+                    for p in range(4)]
+            r0s = [vsub(posA[p], pos_i_bt) for p in range(4)]
+            r1s = [vsub(posB[p], pos_j_bt) for p in range(4)]
 
-            # central impulse (converged face-manifold equivalent):
-            # linear denominator, applied at the centers of mass
-            v_i = vscale(_vslice(st['vel'], i), C.UU_TO_BT)
-            v_j = vscale(_vslice(st['vel'], j), C.UU_TO_BT)
-            rel_vel = vdot(n, vsub(v_j, v_i))
-            denom = 2 * inv_mass
-            rest = _restitution_rhs(
-                vdot(n, vscale(vsub(_vslice(vel_pre, j),
-                                    _vslice(vel_pre, i)), C.UU_TO_BT)),
-                C.CARCAR_COLLISION_RESTITUTION)
-            j_n = jnp.maximum((rest - rel_vel) / denom, 0.0)
-            j_n = jnp.where(overlap, j_n, 0.0)
-            imp = vscale(n, j_n)
+            Ii = _mslice(inv_iw, i)
+            Ij = _mslice(inv_iw, j)
+            dv0, dw0, dv1, dw1, push0, push1, turn0, turn1 = _pgs_pair(
+                vscale(_vslice(st['vel'], i), C.UU_TO_BT),
+                _vslice(st['ang_vel'], i),
+                vscale(_vslice(st['vel'], j), C.UU_TO_BT),
+                _vslice(st['ang_vel'], j),
+                r0s, r1s, n_on_b, act, inv_mass, Ii, Ij,
+                C.CARCAR_COLLISION_RESTITUTION,
+                C.CARCAR_COLLISION_FRICTION, mfc['depth'], k.dt,
+                vscale(_vslice(vel_pre, i), C.UU_TO_BT),
+                vscale(_vslice(vel_pre, j), C.UU_TO_BT))
+            dvel[i] = vadd(dvel[i], vscale(dv0, C.BT_TO_UU))
+            dvel[j] = vadd(dvel[j], vscale(dv1, C.BT_TO_UU))
+            dang[i] = vadd(dang[i], dw0)
+            dang[j] = vadd(dang[j], dw1)
+            push[i] = vadd(push[i], vscale(push0, C.BT_TO_UU))
+            push[j] = vadd(push[j], vscale(push1, C.BT_TO_UU))
+            turn[i] = vadd(turn[i], turn0)
+            turn[j] = vadd(turn[j], turn1)
 
-            # friction row (mu = CARCAR_COLLISION_FRICTION)
-            rel_t = vsub(vadd(v_j, vscale(imp, inv_mass)),
-                         vsub(v_i, vscale(imp, inv_mass)))
-            rel_t = vsub(rel_t, vscale(n, vdot(n, rel_t)))
-            t_len = vnorm(rel_t)
-            t_dir = vwhere(t_len > 1e-9,
-                           vscale(rel_t, 1.0 / jnp.maximum(t_len, 1e-9)),
-                           vzero(t_len))
-            j_t = jnp.clip(-t_len / denom,
-                           -C.CARCAR_COLLISION_FRICTION * j_n,
-                           C.CARCAR_COLLISION_FRICTION * j_n)
-            imp = vadd(imp, vscale(t_dir, j_t))
-
-            dvel[j] = vadd(dvel[j], vscale(imp, inv_mass * C.BT_TO_UU))
-            dvel[i] = vadd(dvel[i], vscale(imp, -inv_mass * C.BT_TO_UU))
-
-            # split-impulse positional pushout at true overlap
-            push_v = vscale(n, jnp.where(overlap, jnp.maximum(-sep, 0.0),
-                                         0.0) * C.SOLVER_ERP2)
-            push[j] = vadd(push[j], push_v)
-            push[i] = vsub(push[i], push_v)
+            # per-point local contact points for the bump test
+            # (m_localPointA/B in the parent body frame)
+            lp_i = [cv.mat_t_vec(Ri, vsub(vscale(posA[p], C.BT_TO_UU),
+                                          _vslice(st['pos'], i)))
+                    for p in range(4)]
+            lp_j = [cv.mat_t_vec(Rj, vsub(vscale(posB[p], C.BT_TO_UU),
+                                          _vslice(st['pos'], j)))
+                    for p in range(4)]
+            hwb = {}
+            hwb[i] = falseS
+            hwb[j] = falseS
+            for p in range(4):
+                hwb[i] = hwb[i] | (act[p]
+                                   & (lp_i[p][0] > C.BUMP_MIN_FORWARD_DIST))
+                hwb[j] = hwb[j] | (act[p]
+                                   & (lp_j[p][0] > C.BUMP_MIN_FORWARD_DIST))
 
             # --- bump / demo, both directions (a bumps b); GetState() at
             # callback time reads pre-force velocities
@@ -1684,7 +1768,6 @@ def _car_car(k: TickConsts, st, inv_iw, alive, vel_pre):
                 pos_b = _vslice(st['pos'], b)
                 va = _vslice(vel_pre, a)
                 vb = _vslice(vel_pre, b)
-                Ra = Ri if a == i else Rj
 
                 delta_pos = vsub(pos_b, pos_a)
                 going_towards = vdot(va, delta_pos) > 0
@@ -1694,8 +1777,7 @@ def _car_car(k: TickConsts, st, inv_iw, alive, vel_pre):
                 other_away = vdot(vb, vel_dir)
                 in_cooldown = (st['car_contact_other_id'][a] == (b + 1)) & (
                     st['car_contact_cooldown'][a] > 0)
-                local_pt = cv.mat_t_vec(Ra, vsub(cp, pos_a))
-                hit_with_bumper = local_pt[0] > C.BUMP_MIN_FORWARD_DIST
+                hit_with_bumper = hwb[a]
 
                 bump = (overlap & going_towards & ~in_cooldown
                         & (speed_towards > other_away) & hit_with_bumper)
@@ -1753,44 +1835,70 @@ def _car_car(k: TickConsts, st, inv_iw, alive, vel_pre):
                    step_demo=jnp.stack(lat_demo, 0),
                    step_demoed=jnp.stack(lat_demoed, 0))
     return (stack_vec(dvel), stack_vec(dang), stack_vec(push),
-            stack_vec(cache_dv), jnp.stack(got_demoed, 0), contact_updates,
-            latches)
+            stack_vec(turn), stack_vec(cache_dv), jnp.stack(got_demoed, 0),
+            contact_updates, latches)
 
 
-def _pads_pickup(k: TickConsts, st, pads_active, pads_cooldown, alive):
-    """step._pads_check_and_pickup: returns (pads_active, pads_cooldown,
-    new_boost)."""
+def _pads_pickup(k: TickConsts, st, pads_active, pads_cooldown,
+                 pads_locked, alive):
+    """step._pads_check_and_pickup incl. the lock hysteresis
+    (BoostPad.cpp:62-105): the previously-locked car keeps the pad via a
+    pad-box vs car-AABB test, others need the cylinder-origin test; the
+    LAST colliding car (highest index, Arena.cpp:783-796 iteration order)
+    takes the lock and the pickup.  Returns (pads_active, pads_cooldown,
+    pads_locked, new_boost)."""
     mut = k.mut
     Cn = k.num_cars
     x, y, z = st['pos']
+    he_m = tuple(v * 50.0 for v in k.he_eff_bt)   # margin-adjusted, uu
+    box_center = vadd(st['pos'], cv.matvec(st['rot'],
+                                           cv.vconst(k.hitbox_offset,
+                                                     st['pos'][0])))
+    # |R| @ he — world AABB half extents of the hitbox
+    aabb_half = tuple(
+        sum(jnp.abs(st['rot'][r][c]) * he_m[c] for c in range(3))
+        for r in range(3))
     gained = jnp.zeros_like(st['boost'])
-    new_active = []
-    new_cd = []
+    new_active, new_cd, new_locked = [], [], []
     for p in range(len(k.pad_locs)):
         lx, ly, lz = k.pad_locs[p]
         big = k.pad_is_big[p]
         rad = C.BoostPads.CYL_RAD_BIG if big else C.BoostPads.CYL_RAD_SMALL
+        box_rad = (C.BoostPads.BOX_RAD_BIG if big
+                   else C.BoostPads.BOX_RAD_SMALL)
         d2 = (x - lx) ** 2 + (y - ly) ** 2
-        colliding = (d2 < rad * rad) & (jnp.abs(z - lz)
-                                        < C.BoostPads.CYL_HEIGHT) & alive
-        pickup = colliding & pads_active[p]
-        # first (lowest-index) car wins
-        taken = jnp.zeros_like(pickup[0])
+        cyl_hit = (d2 < rad * rad) & (jnp.abs(z - lz)
+                                      < C.BoostPads.CYL_HEIGHT)
+        aabb_hit = (
+            (lx + box_rad > box_center[0] - aabb_half[0])
+            & (lx - box_rad < box_center[0] + aabb_half[0])
+            & (ly + box_rad > box_center[1] - aabb_half[1])
+            & (ly - box_rad < box_center[1] + aabb_half[1])
+            & (lz + C.BoostPads.BOX_HEIGHT > box_center[2] - aabb_half[2])
+            & (lz < box_center[2] + aabb_half[2]))
+        locked = pads_locked[p][None] == (
+            jnp.arange(1, Cn + 1)[:, None].reshape(
+                (Cn,) + (1,) * (x.ndim - 1)))
+        colliding = jnp.where(locked, aabb_hit, cyl_hit) & alive
+        any_collide = colliding[0]
+        winner = jnp.zeros_like(pads_locked[p])
+        for c in range(Cn):
+            any_collide = any_collide | colliding[c]
+            winner = jnp.where(colliding[c], c + 1, winner)
+        pickup = any_collide & pads_active[p]
         amount = (C.BoostPads.BOOST_AMOUNT_BIG if big
                   else C.BoostPads.BOOST_AMOUNT_SMALL)
-        winners = []
-        for c in range(Cn):
-            win = pickup[c] & ~taken
-            taken = taken | pickup[c]
-            winners.append(win)
-        gained = gained + jnp.stack(winners, 0).astype(gained.dtype) * amount
-        any_pickup = taken
+        win_rows = jnp.stack([pickup & (winner == c + 1)
+                              for c in range(Cn)], 0)
+        gained = gained + win_rows.astype(gained.dtype) * amount
         cd_new = (mut.boost_pad_cooldown_big if big
                   else mut.boost_pad_cooldown_small)
-        new_active.append(pads_active[p] & ~any_pickup)
-        new_cd.append(jnp.where(any_pickup, cd_new, pads_cooldown[p]))
+        new_active.append(pads_active[p] & ~pickup)
+        new_cd.append(jnp.where(pickup, cd_new, pads_cooldown[p]))
+        new_locked.append(winner)
     new_boost = jnp.minimum(st['boost'] + gained, C.BOOST_MAX)
-    return jnp.stack(new_active, 0), jnp.stack(new_cd, 0), new_boost
+    return (jnp.stack(new_active, 0), jnp.stack(new_cd, 0),
+            jnp.stack(new_locked, 0), new_boost)
 
 
 def _respawn(k: TickConsts, st, mask, respawn_idx):
@@ -2027,8 +2135,9 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
 
     # --- car-car (+bump/demo)
     if Cn > 1:
-        cc_dv, cc_dw, cc_push, cc_cache_dv, got_demoed, cc_updates, \
-            latches = _car_car(k, st, inv_iw, alive, cars_vel_pre)
+        cc_dv, cc_dw, cc_push, cc_turn, cc_cache_dv, got_demoed, \
+            cc_updates, latches = _car_car(k, st, inv_iw, alive,
+                                           cars_vel_pre)
         st['vel'] = vadd(st['vel'], cc_dv)
         st['ang_vel'] = vadd(st['ang_vel'], cc_dw)
         st.update(cc_updates)
@@ -2037,6 +2146,7 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
                                              st['demo_respawn_timer'])
     else:
         cc_push = vzero(st['vel'][0])
+        cc_turn = None
         cc_cache_dv = vzero(st['vel'][0])
         latches = None
 
@@ -2046,6 +2156,8 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
     if cw_turn is not None:
         # split-impulse turn pseudo-velocity writeback (step.arena_tick)
         st['rot'] = cv.integrate_rotation(st['rot'], cw_turn, 1.0)
+    if cc_turn is not None:
+        st['rot'] = cv.integrate_rotation(st['rot'], cc_turn, 1.0)
     ball_awake = (vnorm(st['ball_vel']) > 0) | (vnorm(st['ball_ang_vel']) > 0)
     st['ball_pos'] = vwhere(
         ball_awake,
@@ -2084,9 +2196,11 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
     st.update(car_sel)
 
     # --- boost pad pickup
-    pa, pc, new_boost = _pads_pickup(k, st, st['pads_active'],
-                                     st['pads_cooldown'], alive)
+    pa, pc, pl, new_boost = _pads_pickup(k, st, st['pads_active'],
+                                         st['pads_cooldown'],
+                                         st['pads_locked'], alive)
     st['pads_active'], st['pads_cooldown'] = pa, pc
+    st['pads_locked'] = pl
     st['boost'] = new_boost
 
     goal = jnp.abs(st['ball_pos'][1]) > (mut.goal_base_threshold_y

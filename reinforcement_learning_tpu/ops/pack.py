@@ -96,6 +96,8 @@ def to_components(phys: PhysicsState, S=None) -> dict:
         (pads.is_active.shape[1],) + S)
     d['pads_cooldown'] = jnp.swapaxes(pads.cooldown, 0, 1).reshape(
         (pads.cooldown.shape[1],) + S)
+    d['pads_locked'] = jnp.swapaxes(pads.prev_locked, 0, 1).reshape(
+        (pads.prev_locked.shape[1],) + S)
 
     d['tick_count'] = _to_S(arena.tick_count, S)
     d['goal_scored'] = _to_S(arena.goal_scored, S)
@@ -152,7 +154,8 @@ def from_components(d: dict, E: int) -> PhysicsState:
     P = d['pads_active'].shape[0]
     pads = PadsState(
         is_active=jnp.swapaxes(d['pads_active'].reshape((P, E)), 0, 1),
-        cooldown=jnp.swapaxes(d['pads_cooldown'].reshape((P, E)), 0, 1))
+        cooldown=jnp.swapaxes(d['pads_cooldown'].reshape((P, E)), 0, 1),
+        prev_locked=jnp.swapaxes(d['pads_locked'].reshape((P, E)), 0, 1))
 
     arena = ArenaState(
         cars=cars, ball=ball, pads=pads,

@@ -182,6 +182,127 @@ def pgs_rows_vs_static(vel_bt, ang_vel, r_bt, n, active, inv_mass, inv_iw,
     return dv, dw, push, turn, j_n
 
 
+def pgs_rows_two_body(v0, w0, v1, w1, r0, r1, n, active, inv_mass0,
+                      inv_mass1, inv_iw0, inv_iw1, restitution_coeff,
+                      friction_coeff, dist_bt, dt,
+                      v0_pre=None, v1_pre=None, iterations=10):
+    """Bullet-order PGS over R contact rows between TWO dynamic bodies
+    (the car-car case; same solver settings as :func:`pgs_rows_vs_static`).
+
+    ``n`` is the manifold normal on B (impulse +n on body 0, -n on body
+    1, bullet's m_contactNormal1/2 convention); ``r0``/``r1`` are the
+    lever arms positionWorldOnA - com0 / positionWorldOnB - com1.
+
+    Shapes: v0/w0/v1/w1 (..., 3); r0/r1/n (..., R, 3); active/dist_bt
+    (..., R).  Returns (dv0, dw0, dv1, dw1, push0, push1, turn0, turn1,
+    j_n)."""
+    R = n.shape[-2]
+
+    def _vel_at(v, w, r):
+        return v[..., None, :] + jnp.cross(w[..., None, :], r)
+
+    t0_axis = jnp.cross(r0, n)
+    t1_axis = jnp.cross(r1, n)
+    ang0 = jnp.einsum('...ij,...rj->...ri', inv_iw0, t0_axis)
+    ang1 = jnp.einsum('...ij,...rj->...ri', inv_iw1, t1_axis)
+    denom = (inv_mass0 + inv_mass1
+             + m.dot(n, jnp.cross(ang0, r0))
+             + m.dot(n, jnp.cross(ang1, r1)))
+    jac_inv = 1.0 / jnp.maximum(denom, 1e-12)
+
+    # restitution from pre-force velocities
+    v0r = v0 if v0_pre is None else v0_pre
+    v1r = v1 if v1_pre is None else v1_pre
+    rel_rest = m.dot(n, _vel_at(v0r, w0, r0) - _vel_at(v1r, w1, r1))
+    rest = _restitution_rhs(rel_rest, restitution_coeff)
+
+    # one friction direction per row from the setup-time relative
+    # tangential velocity, with btPlaneSpace1 fallback
+    rel_v = _vel_at(v0, w0, r0) - _vel_at(v1, w1, r1)
+    tang = rel_v - n * m.dot(n, rel_v, keepdims=True)
+    t_len = m.norm(tang, keepdims=True)
+    t_dir = jnp.where(t_len > 1.49e-8, tang / jnp.maximum(t_len, 1e-12),
+                      _plane_space_dir(n))
+    f0_axis = jnp.cross(r0, t_dir)
+    f1_axis = jnp.cross(r1, t_dir)
+    f_ang0 = jnp.einsum('...ij,...rj->...ri', inv_iw0, f0_axis)
+    f_ang1 = jnp.einsum('...ij,...rj->...ri', inv_iw1, f1_axis)
+    t_denom = (inv_mass0 + inv_mass1
+               + m.dot(t_dir, jnp.cross(f_ang0, r0))
+               + m.dot(t_dir, jnp.cross(f_ang1, r1)))
+    t_jac_inv = 1.0 / jnp.maximum(t_denom, 1e-12)
+
+    push_target = jnp.maximum(-dist_bt, 0.0) * (C.SOLVER_ERP2 / dt)
+
+    zero3 = jnp.zeros_like(v0)
+    zeroR = jnp.zeros(n.shape[:-1])
+    act = active.astype(n.dtype)
+
+    def _row(i, arr):
+        return arr[..., i, :]
+
+    def _apply(dv0, dw0, dv1, dw1, direction, ri0, ri1, dj):
+        imp = direction * dj[..., None]
+        dv0 = dv0 + imp * inv_mass0
+        dw0 = dw0 + jnp.einsum('...ij,...j->...i', inv_iw0,
+                               jnp.cross(ri0, imp))
+        dv1 = dv1 - imp * inv_mass1
+        dw1 = dw1 - jnp.einsum('...ij,...j->...i', inv_iw1,
+                               jnp.cross(ri1, imp))
+        return dv0, dw0, dv1, dw1
+
+    def _vel_iter(_, carry):
+        dv0, dw0, dv1, dw1, j_n, j_t = carry
+        for i in range(R):
+            ni, ri0, ri1 = _row(i, n), _row(i, r0), _row(i, r1)
+            rel = m.dot(ni, (v0 + dv0) + jnp.cross(w0 + dw0, ri0)
+                        - (v1 + dv1) - jnp.cross(w1 + dw1, ri1))
+            dj = (rest[..., i] - rel) * jac_inv[..., i]
+            new_acc = jnp.maximum(j_n[..., i] + dj, 0.0)
+            dj = (new_acc - j_n[..., i]) * act[..., i]
+            dv0, dw0, dv1, dw1 = _apply(dv0, dw0, dv1, dw1, ni, ri0, ri1,
+                                        dj)
+            j_n = j_n.at[..., i].add(dj)
+        for i in range(R):
+            ti, ri0, ri1 = _row(i, t_dir), _row(i, r0), _row(i, r1)
+            rel = m.dot(ti, (v0 + dv0) + jnp.cross(w0 + dw0, ri0)
+                        - (v1 + dv1) - jnp.cross(w1 + dw1, ri1))
+            dj = -rel * t_jac_inv[..., i]
+            lim = friction_coeff * j_n[..., i]
+            new_acc = jnp.clip(j_t[..., i] + dj, -lim, lim)
+            dj = (new_acc - j_t[..., i]) * act[..., i]
+            dj = jnp.where(j_n[..., i] > 0, dj, 0.0)
+            dv0, dw0, dv1, dw1 = _apply(dv0, dw0, dv1, dw1, ti, ri0, ri1,
+                                        dj)
+            j_t = j_t.at[..., i].add(dj)
+        return dv0, dw0, dv1, dw1, j_n, j_t
+
+    dv0, dw0, dv1, dw1, j_n, _ = jax.lax.fori_loop(
+        0, iterations, _vel_iter,
+        (zero3, zero3, zero3, zero3, zeroR, zeroR))
+
+    def _pos_iter(_, carry):
+        pv0, pw0, pv1, pw1, j_p = carry
+        for i in range(R):
+            ni, ri0, ri1 = _row(i, n), _row(i, r0), _row(i, r1)
+            rel = m.dot(ni, pv0 + jnp.cross(pw0, ri0)
+                        - pv1 - jnp.cross(pw1, ri1))
+            dj = (push_target[..., i] - rel) * jac_inv[..., i]
+            new_acc = jnp.maximum(j_p[..., i] + dj, 0.0)
+            dj = (new_acc - j_p[..., i]) * act[..., i]
+            pv0, pw0, pv1, pw1 = _apply(pv0, pw0, pv1, pw1, ni, ri0, ri1,
+                                        dj)
+            j_p = j_p.at[..., i].add(dj)
+        return pv0, pw0, pv1, pw1, j_p
+
+    pv0, pw0, pv1, pw1, _ = jax.lax.fori_loop(
+        0, iterations, _pos_iter, (zero3, zero3, zero3, zero3, zeroR))
+
+    return (dv0, dw0, dv1, dw1, pv0 * dt, pv1 * dt,
+            pw0 * (C.SPLIT_IMPULSE_TURN_ERP * dt),
+            pw1 * (C.SPLIT_IMPULSE_TURN_ERP * dt), j_n)
+
+
 def _contact_impulse_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
                                restitution_coeff, friction_coeff,
                                vel_pre_bt=None, ang_vel_pre=None,
@@ -933,126 +1054,84 @@ def resolve_car_ball(cars: CarsState, ball: BallState, tick_count,
         touching
 
 
-def _obb_pair_sat(box_center, rot, he):
-    """All-pairs OBB separation via the 15 SAT axes.
-
-    Returns (sep (C,C) max separation, negative = overlap; n (C,C,3)
-    world-frame contact normal along the max-separation axis, oriented
-    i -> j; contact_pt (C,C,3) midpoint of the two support points).
-    Mirrors what bullet's box-box convex pair produces for the dominant
-    manifold point.
-    """
-    num_cars = box_center.shape[0]
-    ci = box_center[:, None, :]
-    cj = box_center[None, :, :]
-    d = cj - ci  # (C, C, 3)
-
-    cols_i = jnp.broadcast_to(jnp.swapaxes(rot, -1, -2)[:, None],
-                              (num_cars, num_cars, 3, 3))  # rows = axes of i
-    cols_j = jnp.broadcast_to(jnp.swapaxes(rot, -1, -2)[None, :],
-                              (num_cars, num_cars, 3, 3))
-    crosses = jnp.cross(cols_i[:, :, :, None, :],
-                        cols_j[:, :, None, :, :]).reshape(
-                            num_cars, num_cars, 9, 3)
-    axes = jnp.concatenate([cols_i, cols_j, crosses], axis=2)  # (C,C,15,3)
-    alen = m.norm(axes, keepdims=True)
-    axis_ok = alen[..., 0] > 1e-6
-    axes = axes / jnp.maximum(alen, 1e-6)
-
-    # projection radii: sum_k he_k |axis . box_axis_k|
-    proj_i = jnp.einsum('cdai,cdki->cdak', axes, cols_i)
-    proj_j = jnp.einsum('cdai,cdki->cdak', axes, cols_j)
-    radius = (jnp.abs(proj_i) @ he) + (jnp.abs(proj_j) @ he)  # (C,C,15)
-    dist_a = jnp.einsum('cdai,cdi->cda', axes, d)
-    sep_a = jnp.abs(dist_a) - radius
-    sep_a = jnp.where(axis_ok, sep_a, -jnp.inf)
-
-    best = jnp.argmax(sep_a, axis=2)  # (C, C)
-    sep = jnp.take_along_axis(sep_a, best[..., None], axis=2)[..., 0]
-    n = jnp.take_along_axis(axes, best[..., None, None], axis=2)[..., 0, :]
-    nd = jnp.take_along_axis(dist_a, best[..., None], axis=2)[..., 0]
-    n = n * jnp.where(nd < 0, -1.0, 1.0)[..., None]  # orient i -> j
-
-    # support points: deepest point of i along +n, of j along -n; zero out
-    # near-perpendicular components so face contacts land on face centers
-    def _support(local_n):
-        s = jnp.where(jnp.abs(local_n) > 1e-3, jnp.sign(local_n), 0.0)
-        return s * he
-
-    li = jnp.einsum('cdki,cdi->cdk', cols_i, n)
-    lj = jnp.einsum('cdki,cdi->cdk', cols_j, n)
-    pa = ci + jnp.einsum('cdik,cdk->cdi',
-                         jnp.swapaxes(cols_i, -1, -2), _support(li))
-    pb = cj + jnp.einsum('cdik,cdk->cdi',
-                         jnp.swapaxes(cols_j, -1, -2), -_support(lj))
-    contact_pt = 0.5 * (pa + pb)
-    return sep, n, contact_pt
-
-
 def car_car_interactions(cars: CarsState, teams, half_extents, hitbox_offset,
-                         mut: MutatorConfig, inv_iw, vel_pre=None):
+                         mut: MutatorConfig, inv_iw, vel_pre=None,
+                         dt: float = 1.0 / 120.0):
     """All-pairs car-car contact + bump/demo logic (Arena.cpp:336-418).
 
-    Returns (dvel (C,3), dang (C,3), push (C,3), cache_dv (C,3),
-    got_demoed (C,), bumped (C,C) bool [i bumped j], is_demo (C,C) bool
-    [i demoed j], contact_updates dict).
+    The physical contact replicates the reference's actual path: Bullet
+    dispatches box-box child pairs to the dBoxBox face-clipping detector
+    (btBoxBoxDetector.cpp; see physics/box_box.py), producing an
+    up-to-4-point one-tick manifold solved by the sequential-impulse
+    solver with per-point friction and split-impulse pushout.  Pairs are
+    solved independently (the reference solves all manifolds jointly;
+    this differs only in >=3-car pileups where one car touches two).
+
+    Returns (dvel (C,3), dang (C,3), push (C,3), turn (C,3), cache_dv
+    (C,3), got_demoed (C,), bumped (C,C) bool [i bumped j], is_demo
+    (C,C) bool [i demoed j], contact_updates dict).
     """
+    from reinforcement_learning_tpu.physics import box_box, formulas
+
     num_cars = cars.pos.shape[0]
-    he = jnp.asarray(half_extents)
     if vel_pre is None:
         vel_pre = cars.vel
 
-    box_center = cars.pos + m.rotate(cars.rot, hitbox_offset)
-    sep, n, contact_pt = _obb_pair_sat(box_center, cars.rot, he)
-
-    # Box-box pairs use btBoxBoxDetector (dBoxBox), which only generates
-    # contacts on true overlap of the full (margin-included) extents
-    eye = jnp.eye(num_cars, dtype=bool)
-    overlap = (sep < 0.0) & ~eye
-    both_alive = (~cars.is_demoed[:, None]) & (~cars.is_demoed[None, :])
-    overlap &= both_alive
-
-    # --- physical contact impulse (friction .09, restitution .1).
-    # Bullet clips box-box faces into a (up to) 4-point manifold whose
-    # converged sequential-impulse solution is essentially a CENTRAL
-    # impulse between the bodies (the spread points pin relative rotation;
-    # oracle bumps leave only ~0.7 rad/s residual spin), so the impulse is
-    # solved with the linear denominator and applied at the centers of
-    # mass.
+    he_eff = jnp.asarray(
+        formulas.box_effective_half_extents_bt(
+            np.asarray(half_extents, np.float64) * 2.0), jnp.float32)
+    box_center_bt = (cars.pos + m.rotate(cars.rot, hitbox_offset)) \
+        * C.UU_TO_BT
+    pos_bt = cars.pos * C.UU_TO_BT
     inv_mass = 1.0 / mut.car_mass
-    v_i = cars.vel[:, None, :] * C.UU_TO_BT
-    v_j = cars.vel[None, :, :] * C.UU_TO_BT
-    rel_vel = m.dot(n, v_j - v_i)
-    denom = 2 * inv_mass
-    # restitution from pre-force velocities (see _contact_impulse_vs_static)
-    rest = _restitution_rhs(
-        m.dot(n, (vel_pre[None, :, :] - vel_pre[:, None, :]) * C.UU_TO_BT),
-        C.CARCAR_COLLISION_RESTITUTION)
-    j_n = jnp.maximum((rest - rel_vel) / denom, 0.0)
-    j_n = jnp.where(overlap, j_n, 0.0)
-    imp = n * j_n[..., None]  # on car j (+n), car i gets -imp
 
-    # friction row (mu = CARCAR_COLLISION_FRICTION, tiny but present)
-    rel_t = (v_j + imp * inv_mass) - (v_i - imp * inv_mass)
-    rel_t = rel_t - n * m.dot(n, rel_t, keepdims=True)
-    t_len = m.norm(rel_t, keepdims=True)
-    t_dir = jnp.where(t_len > 1e-9, rel_t / jnp.maximum(t_len, 1e-9), 0.0)
-    j_t = jnp.clip(-t_len[..., 0] / denom,
-                   -C.CARCAR_COLLISION_FRICTION * j_n,
-                   C.CARCAR_COLLISION_FRICTION * j_n)
-    imp = imp + t_dir * j_t[..., None]
+    ii, jj = np.triu_indices(num_cars, k=1)
+    mf = box_box.box_box_manifold(
+        box_center_bt[ii], cars.rot[ii], he_eff,
+        box_center_bt[jj], cars.rot[jj], he_eff)      # batch (P,)
+    pair_alive = (~cars.is_demoed[ii]) & (~cars.is_demoed[jj])
+    act = mf["active"] & pair_alive[:, None]          # (P, 4)
 
-    # Each unordered pair appears in both (i,j) and (j,i) with the same
-    # magnitude and flipped normal; halve so the pair is solved once.
-    dvel = (jnp.sum(imp, axis=0) - jnp.sum(imp, axis=1)) \
-        * (0.5 * inv_mass * C.BT_TO_UU)
-    dang = jnp.zeros_like(cars.ang_vel)
+    n_on_b = -mf["normal"]                            # +imp on car ii
+    posB = mf["points"]                               # (P, 4, 3) bt
+    posA = posB + mf["normal"][:, None, :] * mf["depth"][..., None]
+    r0 = posA - pos_bt[ii][:, None, :]
+    r1 = posB - pos_bt[jj][:, None, :]
 
-    # split-impulse positional pushout at true overlap, half to each body
-    push_mag = jnp.where(overlap, jnp.maximum(-sep, 0.0), 0.0) \
-        * (C.SOLVER_ERP2 * 0.5)
-    push = (jnp.sum(n * push_mag[..., None], axis=0)
-            - jnp.sum(n * push_mag[..., None], axis=1))
+    dv0, dw0, dv1, dw1, push0, push1, turn0, turn1, _ = pgs_rows_two_body(
+        cars.vel[ii] * C.UU_TO_BT, cars.ang_vel[ii],
+        cars.vel[jj] * C.UU_TO_BT, cars.ang_vel[jj],
+        r0, r1, jnp.broadcast_to(n_on_b[:, None, :], posB.shape), act,
+        inv_mass, inv_mass, inv_iw[ii], inv_iw[jj],
+        C.CARCAR_COLLISION_RESTITUTION, C.CARCAR_COLLISION_FRICTION,
+        -mf["depth"], dt,
+        v0_pre=vel_pre[ii] * C.UU_TO_BT, v1_pre=vel_pre[jj] * C.UU_TO_BT)
+
+    def _scatter(a0, a1):
+        out = jnp.zeros((num_cars, 3), a0.dtype)
+        return out.at[ii].add(a0).at[jj].add(a1)
+
+    dvel = _scatter(dv0, dv1) * C.BT_TO_UU
+    dang = _scatter(dw0, dw1)
+    push = _scatter(push0, push1) * C.BT_TO_UU
+    turn = _scatter(turn0, turn1)
+
+    # (C, C) views for the bump/demo logic below
+    overlap = jnp.zeros((num_cars, num_cars), bool)
+    overlap = overlap.at[ii, jj].set(mf["overlap"] & pair_alive)
+    overlap = overlap | overlap.T
+
+    # per-point local contact points on each car (bullet m_localPointA/B,
+    # mapped to the parent body frame by the compound algorithm)
+    lp_i = m.inv_rotate(cars.rot[ii][:, None],
+                        posA * C.BT_TO_UU - cars.pos[ii][:, None])
+    lp_j = m.inv_rotate(cars.rot[jj][:, None],
+                        posB * C.BT_TO_UU - cars.pos[jj][:, None])
+    hwb_i = jnp.any(act & (lp_i[..., 0] > C.BUMP_MIN_FORWARD_DIST), -1)
+    hwb_j = jnp.any(act & (lp_j[..., 0] > C.BUMP_MIN_FORWARD_DIST), -1)
+    hit_with_bumper = jnp.zeros((num_cars, num_cars), bool)
+    hit_with_bumper = hit_with_bumper.at[ii, jj].set(hwb_i)
+    hit_with_bumper = hit_with_bumper.at[jj, ii].set(hwb_j)
 
     # --- bump / demo logic, evaluated both directions (i bumps j);
     # Car::GetState() at callback time reads pre-force velocities
@@ -1069,10 +1148,6 @@ def car_car_interactions(cars: CarsState, teams, half_extents, hitbox_offset,
     ids = jnp.arange(1, num_cars + 1)
     in_cooldown = (cars.car_contact_other_id[:, None] == ids[None, :]) & (
         cars.car_contact_cooldown[:, None] > 0)
-
-    # localPoint on car i: contact point in i's local frame
-    local_pt = m.inv_rotate(cars.rot[:, None], contact_pt - cars.pos[:, None])
-    hit_with_bumper = local_pt[..., 0] > C.BUMP_MIN_FORWARD_DIST
 
     bump = (overlap & going_towards & ~in_cooldown
             & (speed_towards > other_away_speed) & hit_with_bumper)
@@ -1114,5 +1189,5 @@ def car_car_interactions(cars: CarsState, teams, half_extents, hitbox_offset,
         car_contact_cooldown=jnp.where(bumped_any, mut.bump_cooldown_time,
                                        cars.car_contact_cooldown),
     )
-    return (dvel, dang, push, cache_dv, got_demoed, bump, is_demo,
+    return (dvel, dang, push, turn, cache_dv, got_demoed, bump, is_demo,
             contact_updates)

@@ -120,6 +120,11 @@ class PadsState:
     """Boost pad state: (34,) arrays; reference BoostPad.h:36-58."""
     is_active: jnp.ndarray  # (34,) bool
     cooldown: jnp.ndarray   # (34,)
+    # Pickup-lock hysteresis (BoostPad.cpp:62-105): id+1 of the car that
+    # collided with this pad last tick (0 = none).  The locked car keeps
+    # the pad via a wider AABB-vs-hitbox test; everyone else must pass
+    # the cylinder-origin test.
+    prev_locked: jnp.ndarray  # (34,) int32
 
 
 @struct.dataclass
@@ -292,6 +297,7 @@ def make_pads_state(game_mode: str = "soccar") -> PadsState:
     return PadsState(
         is_active=jnp.ones((n,), bool),
         cooldown=jnp.zeros((n,), jnp.float32),
+        prev_locked=jnp.zeros((n,), jnp.int32),
     )
 
 

@@ -395,10 +395,10 @@ def _arena_tick_impl(phys: PhysicsState, teams: jnp.ndarray, key,
 
     # car-car (+bump/demo); masks demoed cars internally
     if num_cars > 1:
-        cc_dv, cc_dw, cc_push, cc_cache_dv, got_demoed, bumped, demo_mat, \
-            cc_updates = contacts.car_car_interactions(
+        cc_dv, cc_dw, cc_push, cc_turn, cc_cache_dv, got_demoed, bumped, \
+            demo_mat, cc_updates = contacts.car_car_interactions(
                 cars, teams, half_extents, hitbox_offset, mut, inv_iw,
-                vel_pre=cars_vel_pre)
+                vel_pre=cars_vel_pre, dt=dt)
         cars = cars.replace(vel=cars.vel + cc_dv,
                             ang_vel=cars.ang_vel + cc_dw, **cc_updates)
         # Demolish (Car.cpp:38-41)
@@ -408,6 +408,7 @@ def _arena_tick_impl(phys: PhysicsState, teams: jnp.ndarray, key,
                                          cars.demo_respawn_timer))
     else:
         cc_push = jnp.zeros_like(cars.vel)
+        cc_turn = None
         cc_cache_dv = jnp.zeros_like(cars.vel)
         bumped = jnp.zeros((num_cars, num_cars), bool)
         demo_mat = jnp.zeros((num_cars, num_cars), bool)
@@ -419,6 +420,8 @@ def _arena_tick_impl(phys: PhysicsState, teams: jnp.ndarray, key,
         # split-impulse turn pseudo-velocity writeback (scaled by
         # splitImpulseTurnErp inside the solver)
         new_rot = m.integrate_rotation(new_rot, cw_turn, 1.0)
+    if cc_turn is not None:
+        new_rot = m.integrate_rotation(new_rot, cc_turn, 1.0)
     cars = cars.replace(
         pos=cars.pos + cars.vel * dt + cw_push + cc_push,
         rot=new_rot)
@@ -611,12 +614,13 @@ def _is_ball_scored_hoops(ball_pos):
 def _pads_check_and_pickup(pads, cars: CarsState, alive, half_extents,
                            hitbox_offset, mut: MutatorConfig,
                            game_mode: str = "soccar"):
-    """Boost pad collision + pickup.
-
-    Simplification vs reference: the reference locks a pad to the previous
-    car via AABB hysteresis (BoostPad.cpp:62-86); here every overlapping car
-    is tested with the cylinder volume (the hysteresis only widens the
-    pickup box for a car already sitting on the pad).
+    """Boost pad collision + pickup with the reference's lock hysteresis
+    (BoostPad.cpp:62-105): the car that collided with a pad last tick
+    (``pads.prev_locked``) keeps it via a pad-box vs car-AABB test; every
+    other car must pass the cylinder test on its ORIGIN.  Cars are
+    checked in index order and each colliding car overwrites the lock
+    (Arena.cpp:783-796), so the HIGHEST colliding index wins the tick's
+    pickup; the lock persists even while the pad is on cooldown.
     """
     if game_mode == "hoops":
         locs = jnp.asarray(C.BOOST_PAD_LOCS_HOOPS)   # (20, 3)
@@ -624,22 +628,45 @@ def _pads_check_and_pickup(pads, cars: CarsState, alive, half_extents,
     else:
         locs = jnp.asarray(C.BOOST_PAD_LOCS_SOCCAR)  # (34, 3)
         is_big = jnp.asarray(C.BOOST_PAD_IS_BIG)
+    num_cars = cars.pos.shape[0]
     cyl_rad = jnp.where(is_big, C.BoostPads.CYL_RAD_BIG,
                         C.BoostPads.CYL_RAD_SMALL)
 
+    # cylinder test on the car origin (the non-locked path)
     d2 = jnp.sum((cars.pos[:, None, :2] - locs[None, :, :2]) ** 2, axis=-1)
     dz = jnp.abs(cars.pos[:, None, 2] - locs[None, :, 2])
-    colliding = (d2 < (cyl_rad ** 2)[None, :]) & (
-        dz < C.BoostPads.CYL_HEIGHT) & alive[:, None]  # (C, 34)
+    cyl_hit = (d2 < (cyl_rad ** 2)[None, :]) & (
+        dz < C.BoostPads.CYL_HEIGHT)  # (C, P)
 
-    pickup = colliding & pads.is_active[None, :]
-    # One car per pad: lowest index wins (reference processes cars in order)
-    first = jnp.argmax(pickup, axis=0)  # (34,)
-    any_pickup = jnp.any(pickup, axis=0)
-    # (C, 34): 1 where car c picks up pad p
-    winner_cp = (jax.nn.one_hot(first, cars.pos.shape[0],
-                                dtype=jnp.float32).T
-                 * any_pickup[None, :].astype(jnp.float32))
+    # AABB test (the locked path): pad box (+-BOX_RAD xy, z in [0, 64])
+    # vs the car compound's world AABB — |R| * margin-adjusted extents
+    # around the hitbox center (bullet btBoxShape::getAabb semantics)
+    from reinforcement_learning_tpu.physics import formulas
+    he_m = jnp.asarray(formulas.box_effective_half_extents_bt(
+        np.asarray(half_extents, np.float64) * 2.0) * 50.0, jnp.float32)
+    box_center = cars.pos + m.rotate(cars.rot, hitbox_offset)
+    aabb_half = jnp.einsum('cij,j->ci', jnp.abs(cars.rot), he_m)  # (C, 3)
+    car_min = box_center - aabb_half
+    car_max = box_center + aabb_half
+    box_rad = jnp.where(is_big, C.BoostPads.BOX_RAD_BIG,
+                        C.BoostPads.BOX_RAD_SMALL)
+    pad_min = jnp.stack([locs[:, 0] - box_rad, locs[:, 1] - box_rad,
+                         locs[:, 2]], axis=-1)                   # (P, 3)
+    pad_max = jnp.stack([locs[:, 0] + box_rad, locs[:, 1] + box_rad,
+                         locs[:, 2] + C.BoostPads.BOX_HEIGHT], axis=-1)
+    aabb_hit = jnp.all((pad_max[None] > car_min[:, None])
+                       & (pad_min[None] < car_max[:, None]), axis=-1)
+
+    ids = jnp.arange(1, num_cars + 1)                            # (C,)
+    locked = pads.prev_locked[None, :] == ids[:, None]           # (C, P)
+    colliding = jnp.where(locked, aabb_hit, cyl_hit) & alive[:, None]
+
+    any_collide = jnp.any(colliding, axis=0)                     # (P,)
+    # last colliding car in iteration order wins the lock
+    winner = num_cars - 1 - jnp.argmax(colliding[::-1], axis=0)  # (P,)
+    pickup = any_collide & pads.is_active
+    winner_cp = (jax.nn.one_hot(winner, num_cars, dtype=jnp.float32).T
+                 * pickup[None, :].astype(jnp.float32))
     amount = jnp.where(is_big, C.BoostPads.BOOST_AMOUNT_BIG,
                        C.BoostPads.BOOST_AMOUNT_SMALL)
     gained = jnp.sum(winner_cp * amount[None, :], axis=1)
@@ -648,8 +675,9 @@ def _pads_check_and_pickup(pads, cars: CarsState, alive, half_extents,
     cooldown_new = jnp.where(is_big, mut.boost_pad_cooldown_big,
                              mut.boost_pad_cooldown_small)
     pads = pads.replace(
-        is_active=pads.is_active & ~any_pickup,
-        cooldown=jnp.where(any_pickup, cooldown_new, pads.cooldown))
+        is_active=pads.is_active & ~pickup,
+        cooldown=jnp.where(pickup, cooldown_new, pads.cooldown),
+        prev_locked=jnp.where(any_collide, winner + 1, 0))
     cars = cars.replace(boost=new_boost)
     return pads, cars
 

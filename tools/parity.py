@@ -173,6 +173,110 @@ def car_trace_field(cars: np.ndarray, name: str) -> np.ndarray:
 # JAX engine side
 
 
+def _scenario_phys(sc: Scenario, params):
+    """Initial PhysicsState for one scenario."""
+    import jax.numpy as jnp
+
+    from reinforcement_learning_tpu.physics import step as stepmod
+
+    phys = stepmod.make_physics_state(params)
+    arena = phys.arena
+    f = lambda v: jnp.asarray(v, jnp.float32)
+    rot = np.stack([np.stack([c.fwd, c.right, c.up], axis=-1)
+                    for c in sc.cars])
+    cars = arena.cars.replace(
+        pos=f([c.pos for c in sc.cars]),
+        rot=f(rot),
+        vel=f([c.vel for c in sc.cars]),
+        ang_vel=f([c.ang_vel for c in sc.cars]),
+        boost=f([c.boost for c in sc.cars]),
+        is_on_ground=jnp.asarray([c.is_on_ground for c in sc.cars], bool),
+        has_jumped=jnp.asarray([c.has_jumped for c in sc.cars], bool),
+        has_double_jumped=jnp.asarray(
+            [c.has_double_jumped for c in sc.cars], bool),
+        has_flipped=jnp.asarray([c.has_flipped for c in sc.cars], bool),
+        flip_rel_torque=f([c.flip_rel_torque for c in sc.cars]),
+        jump_time=f([c.jump_time for c in sc.cars]),
+        flip_time=f([c.flip_time for c in sc.cars]),
+        is_flipping=jnp.asarray([c.is_flipping for c in sc.cars], bool),
+        is_jumping=jnp.asarray([c.is_jumping for c in sc.cars], bool),
+        air_time_since_jump=f([c.air_time_since_jump for c in sc.cars]),
+        time_spent_boosting=f([c.time_spent_boosting for c in sc.cars]),
+        supersonic_time=f([c.supersonic_time for c in sc.cars]),
+        handbrake_val=f([c.handbrake_val for c in sc.cars]),
+    )
+    ball = arena.ball.replace(pos=f(sc.ball_pos), vel=f(sc.ball_vel),
+                              ang_vel=f(sc.ball_ang_vel))
+    return phys.replace(arena=arena.replace(cars=cars, ball=ball))
+
+
+def _trace_rows(arena):
+    """(ball_row (9,), car_rows (C, CAR_OUT_FLOATS)) from a host arena."""
+    ball_row = np.concatenate([arena.ball.pos, arena.ball.vel,
+                               arena.ball.ang_vel])
+    c = arena.cars
+    flat = np.concatenate([
+        c.pos, c.rot[..., 0], c.rot[..., 1], c.rot[..., 2],
+        c.vel, c.ang_vel,
+        c.boost[:, None], c.is_on_ground[:, None],
+        c.has_jumped[:, None], c.has_double_jumped[:, None],
+        c.has_flipped[:, None], c.is_jumping[:, None],
+        c.is_flipping[:, None], c.jump_time[:, None],
+        c.flip_time[:, None], c.air_time_since_jump[:, None],
+        c.is_supersonic[:, None], c.handbrake_val[:, None],
+        c.is_demoed[:, None]], axis=-1, dtype=np.float32)
+    return ball_row, flat
+
+
+def run_jax_pallas(scenarios):
+    """Steps the PALLAS megakernel engine (ops/ctick via pallas_step, the
+    default TPU training path: facet arena + dynamic wheel rays) over the
+    scenarios, returning traces in run_oracle layout.  Scenarios are
+    batched into one kernel env-axis per (n_cars, teams) signature;
+    interpret mode is used off-TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from reinforcement_learning_tpu.ops import pallas_step
+    from reinforcement_learning_tpu.physics import step as stepmod
+
+    results = [None] * len(scenarios)
+    groups = {}
+    for idx, sc in enumerate(scenarios):
+        sig = (sc.n_cars, tuple(c.team for c in sc.cars), sc.n_ticks)
+        groups.setdefault(sig, []).append(idx)
+
+    interpret = jax.devices()[0].platform == "cpu"
+    for (n_cars, teams, n_ticks), idxs in groups.items():
+        params = stepmod.ArenaParams(num_cars=n_cars, use_mesh=True,
+                                     dynamic_wheel_rays=True)
+        phys_list = [_scenario_phys(scenarios[i], params) for i in idxs]
+        phys = jax.tree.map(lambda *xs: jnp.stack(xs), *phys_list)
+        E = len(idxs)
+        respawn = jnp.zeros((E, n_cars), jnp.int32)
+
+        def tick(phys, controls):
+            return pallas_step.pallas_arena_step(
+                phys, controls, respawn, params=params, teams=teams,
+                tick_skip=1, action_delay=0, interpret=interpret)
+
+        traces = [{"ball": [], "cars": []} for _ in idxs]
+        for t in range(n_ticks):
+            u = jnp.stack([jnp.asarray(scenarios[i].controls[t],
+                                       jnp.float32) for i in idxs])
+            phys = tick(phys, u)
+            host = jax.device_get(phys.arena)
+            for e in range(E):
+                one = jax.tree.map(lambda a: a[e], host)
+                b, cr = _trace_rows(one)
+                traces[e]["ball"].append(b)
+                traces[e]["cars"].append(cr)
+        for e, i in enumerate(idxs):
+            results[i] = {"ball": np.stack(traces[e]["ball"]),
+                          "cars": np.stack(traces[e]["cars"])}
+    return results
+
+
 def run_jax(scenario: Scenario):
     """Steps the JAX engine over the scenario, returning traces in the
     same layout as run_oracle."""

@@ -111,17 +111,22 @@ def scenarios(T):
     return out
 
 
-def main():
+def main(backend: str = "xla"):
     import jax
-    jax.config.update("jax_platforms", "cpu")
-    T = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    if "--tpu" not in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    T = int(args[0]) if args else 120
     scs = scenarios(T)
     names = list(scs)
     refs = parity.run_oracle([scs[n] for n in names])
+    if backend == "pallas":
+        ours_all = parity.run_jax_pallas([scs[n] for n in names])
     print(f"{'scenario':20s} {'car_pos':>8s} {'car_vel':>8s} {'car_ang':>8s}"
           f" {'ball_pos':>9s} {'ball_vel':>9s} flags")
     for name, ref in zip(names, refs):
-        ours = parity.run_jax(scs[name])
+        ours = (ours_all[names.index(name)] if backend == "pallas"
+                else parity.run_jax(scs[name]))
         gcf = parity.car_trace_field
         dp = np.abs(gcf(ref["cars"], "pos") - gcf(ours["cars"], "pos")).max()
         dv = np.abs(gcf(ref["cars"], "vel") - gcf(ours["cars"], "vel")).max()
@@ -203,4 +208,4 @@ if __name__ == "__main__":
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
         long_gate(int(args[0]) if args else 10_000)
     else:
-        main()
+        main("pallas" if "--backend=pallas" in sys.argv else "xla")
