@@ -126,9 +126,10 @@ class RocketLeagueEnv:
                     num_cars=config.cars_per_arena,
                     game_mode=config.game_mode))
             self.config = config
-        if (config.game_mode != "soccar"
+        if (config.game_mode not in ("soccar", "heatseeker")
                 and config.physics_backend == "pallas"):
-            raise ValueError("the pallas megakernel backend is soccar-only; "
+            raise ValueError("the pallas megakernel backend supports "
+                             "soccar and heatseeker (soccar geometry); "
                              "use physics_backend='xla' for "
                              f"{config.game_mode}")
         if (config.physics_backend == "pallas" and config.arena.use_mesh
@@ -306,7 +307,7 @@ class RocketLeagueEnv:
 
     def _use_pallas(self) -> bool:
         b = self.config.physics_backend
-        if self.config.game_mode != "soccar":
+        if self.config.game_mode not in ("soccar", "heatseeker"):
             return False
         if self.params.use_mesh and not worldmod.is_procedural():
             return False  # real .cmf assets: XLA grid path only

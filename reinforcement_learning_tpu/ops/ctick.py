@@ -83,6 +83,7 @@ class TickConsts:
     use_mesh: bool = False
     dynamic_rays: bool = False
     facets: object = None   # facet_arena.FacetTables when use_mesh
+    game_mode: str = "soccar"   # soccar | heatseeker (kernel-supported)
 
 
 def make_consts(params, teams) -> TickConsts:
@@ -128,6 +129,7 @@ def make_consts(params, teams) -> TickConsts:
         use_mesh=use_mesh,
         dynamic_rays=bool(getattr(params, "dynamic_wheel_rays", False)),
         facets=facets,
+        game_mode=str(getattr(params, "game_mode", "soccar")),
     )
 
 
@@ -322,7 +324,16 @@ def _facet_sphere_manifold(k: TickConsts, pos, radius, break_gap):
 
 def _facet_box_manifold(k: TickConsts, st, brk):
     """Car hitbox vs the facet arena: 4 retained face-based contacts.
-    Returns list of 4 (n Vec, sup Vec, dist, occ)."""
+    Returns list of 4 (n Vec, sup Vec, dist, occ).
+
+    The candidate set includes per-corner FLOOR/CEILING contacts: the
+    real mesh duplicates the infinite planes with floor/ceiling
+    triangles, and the reference resolves a tumbling landing through
+    those per-triangle points PLUS the plane's single support vertex
+    (oracle: 2 mesh + 1 plane rows at a flip landing).  The facet arena
+    omits the coplanar triangles, so without these rows a spinning
+    landing put its entire impulse through one corner (~500 uu/s
+    divergence at the impact tick of the pallas parity battery)."""
     from reinforcement_learning_tpu.physics import facet_arena as fa
     box_center = vadd(st['pos'], cv.matvec(st['rot'],
                                            cv.vconst(k.hitbox_offset,
@@ -332,6 +343,31 @@ def _facet_box_manifold(k: TickConsts, st, brk):
     z = jnp.zeros_like(st['pos'][0])
     cands = [(dist, act, (nx + z, ny + z, nz + z, sx, sy, sz, dist))
              for (nx, ny, nz, sx, sy, sz, dist, act) in res]
+    # floor / ceiling "mesh duplicate" contacts at each hitbox corner,
+    # using the same margin law as the XLA box-triangle narrowphase
+    # (box_tri.box_triangle_contact): the GJK core is the corner shrunk
+    # by the 2uu convex margin, the reported distance subtracts the safe
+    # margin, and the contact point is on the surface plane
+    one = jnp.ones_like(z)
+    H = C.ARENA_HEIGHT
+    he = k.half_extents
+    off = k.hitbox_offset
+    core_m = C.MESH_COLLISION_MARGIN
+    dist_m = min(C.MESH_COLLISION_MARGIN,
+                 0.1 * float(np.min(np.asarray(he))))
+    for cl in k.corners_local:
+        sign = tuple(1.0 if cl[i] > off[i] else -1.0 for i in range(3))
+        core_cl = tuple(off[i] + sign[i] * (he[i] - core_m)
+                        for i in range(3))
+        corner = vadd(st['pos'], cv.matvec(st['rot'],
+                                           cv.vconst(core_cl,
+                                                     st['pos'][0])))
+        d_f = corner[2] - dist_m
+        cands.append((d_f, d_f < brk,
+                      (z, z, one, corner[0], corner[1], z, d_f)))
+        d_c = (H - corner[2]) - dist_m
+        cands.append((d_c, d_c < brk,
+                      (z, z, -one, corner[0], corner[1], H + z, d_c)))
     slot_d, slot_occ, slot_pay = _keep_deepest4(cands)
     return [((p[0], p[1], p[2]), (p[3], p[4], p[5]), p[6], occ)
             for p, occ in zip(slot_pay, slot_occ)]
@@ -1352,7 +1388,8 @@ def _resolve_ball_world_mesh_k(k: TickConsts, ball_pos, ball_vel,
     push = vscale(navg, jnp.maximum(max_depth, 0.0) * C.SOLVER_ERP2)
     z = vzero(zero)
     return (vwhere(touching, vscale(dv_bt, C.BT_TO_UU), z),
-            vwhere(touching, dw, z), vwhere(touching, push, z), touching)
+            vwhere(touching, dw, z), vwhere(touching, push, z), touching,
+            navg)
 
 
 def _resolve_ball_world(k: TickConsts, ball_pos, ball_vel, ball_ang_vel,
@@ -1401,7 +1438,8 @@ def _resolve_ball_world(k: TickConsts, ball_pos, ball_vel, ball_ang_vel,
     push = vscale(navg, jnp.maximum(max_depth, 0.0) * C.SOLVER_ERP2)
     z = vzero(zero)
     return (vwhere(touching, vscale(dv_bt, C.BT_TO_UU), z),
-            vwhere(touching, dw, z), vwhere(touching, push, z), touching)
+            vwhere(touching, dw, z), vwhere(touching, push, z), touching,
+            navg)
 
 
 def _resolve_car_ball(k: TickConsts, st, ball_pos, ball_vel, ball_ang_vel,
@@ -1876,15 +1914,17 @@ def _pads_pickup(k: TickConsts, st, pads_active, pads_cooldown,
             & (ly - box_rad < box_center[1] + aabb_half[1])
             & (lz + C.BoostPads.BOX_HEIGHT > box_center[2] - aabb_half[2])
             & (lz < box_center[2] + aabb_half[2]))
-        locked = pads_locked[p][None] == (
-            jnp.arange(1, Cn + 1)[:, None].reshape(
-                (Cn,) + (1,) * (x.ndim - 1)))
-        colliding = jnp.where(locked, aabb_hit, cyl_hit) & alive
-        any_collide = colliding[0]
+        any_collide = None
         winner = jnp.zeros_like(pads_locked[p])
+        colliding = []
         for c in range(Cn):
-            any_collide = any_collide | colliding[c]
-            winner = jnp.where(colliding[c], c + 1, winner)
+            lock_c = pads_locked[p] == (c + 1)
+            col_c = cv.bsel(lock_c, aabb_hit[c], cyl_hit[c]) & alive[c]
+            colliding.append(col_c)
+            any_collide = col_c if any_collide is None \
+                else (any_collide | col_c)
+            winner = jnp.where(col_c, c + 1, winner)
+        colliding = jnp.stack(colliding, 0)
         pickup = any_collide & pads_active[p]
         amount = (C.BoostPads.BOOST_AMOUNT_BIG if big
                   else C.BoostPads.BOOST_AMOUNT_SMALL)
@@ -2085,6 +2125,10 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
     st['vel'] = vadd(st['vel'], vscale(total_accel, dt))
     st['ang_vel'] = vadd(st['ang_vel'], vscale(total_ang_accel, dt))
 
+    # Ball pre-tick (heatseeker steering, Ball.cpp:153-200)
+    if k.game_mode == "heatseeker":
+        st = _hs_steer(k, st)
+
     # Ball: sleeping + gravity + drag
     bvel, bang = st['ball_vel'], st['ball_ang_vel']
     ball_awake = (vnorm(bvel) > 0) | (vnorm(bang) > 0)
@@ -2112,7 +2156,7 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
 
     # --- car-ball (+psyonix impulse cache)
     cb_car_dv, cb_car_dw, cb_ball_dv, cb_ball_dw, ball_cache_dv, \
-        hit_updates, _ = _resolve_car_ball(
+        hit_updates, ball_touched = _resolve_car_ball(
             k, st, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'],
             st['tick_count'], inv_iw, alive, cars_vel_pre, ball_vel_pre)
     st['vel'] = vadd(st['vel'], cb_car_dv)
@@ -2121,17 +2165,28 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
     st['ball_vel'] = vadd(st['ball_vel'], cb_ball_dv)
     st['ball_ang_vel'] = vadd(st['ball_ang_vel'], cb_ball_dw)
 
+    # Ball::_OnHit (heatseeker target/speedup, Ball.cpp:203-216)
+    if k.game_mode == "heatseeker":
+        st = _hs_on_hit(k, st, [ball_touched[c] & alive[c]
+                                for c in range(Cn)])
+
     # --- ball-world
     if k.use_mesh:
-        bw_dv, bw_dw, bw_push, _ = _resolve_ball_world_mesh_k(
-            k, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'],
-            ball_vel_pre)
+        bw_dv, bw_dw, bw_push, bw_touch, bw_navg = \
+            _resolve_ball_world_mesh_k(
+                k, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'],
+                ball_vel_pre)
     else:
-        bw_dv, bw_dw, bw_push, _ = _resolve_ball_world(
+        bw_dv, bw_dw, bw_push, bw_touch, bw_navg = _resolve_ball_world(
             k, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'],
             ball_vel_pre)
     st['ball_vel'] = vadd(st['ball_vel'], bw_dv)
     st['ball_ang_vel'] = vadd(st['ball_ang_vel'], bw_dw)
+
+    # Ball::_OnWorldCollision (heatseeker backwall flip, Ball.cpp:218-246)
+    if k.game_mode == "heatseeker":
+        st, hs_cache = _hs_wall_bounce(k, st, bw_touch, bw_navg)
+        ball_cache_dv = vadd(ball_cache_dv, hs_cache)
 
     # --- car-car (+bump/demo)
     if Cn > 1:
@@ -2223,6 +2278,122 @@ def _bools_to_f32(st):
 def _restore_bools(st, ref):
     return jax.tree.map(
         lambda x, r: (x != 0) if r.dtype == jnp.bool_ else x, st, ref)
+
+
+def _wrap_k(x, minmax):
+    """Math::WrapNormalizeFloat (step._wrap twin)."""
+    r = jnp.fmod(x, minmax * 2)
+    r = jnp.where(r > minmax, r - minmax * 2, r)
+    return jnp.where(r < -minmax, r + minmax * 2, r)
+
+
+def _round_angle_ue3_k(ang):
+    """Math::RoundAngleUE3 (step._round_angle_ue3 twin)."""
+    to_ints = float(1 << 15) / np.pi
+    back = (1.0 / to_ints) * 4.0
+    r = (ang * to_ints).astype(jnp.int32) >> 2
+    return (r & (0x4000 - 1)).astype(jnp.float32) * back
+
+
+def _hs_steer(k: TickConsts, st):
+    """Ball::_PreTickUpdate heatseeker branch (step._heatseeker_steer
+    twin, Ball.cpp:153-200) on component state."""
+    HS = C.Heatseeker
+    dt = k.dt
+    ytd, tspeed, tsince = st['ball_hs']
+    active = ytd != 0
+
+    vel = st['ball_vel']
+    speed = vnorm(vel)
+    d2 = jnp.sqrt(vel[0] ** 2 + vel[1] ** 2)
+    v_yaw = cv.atan2(vel[1], vel[0])
+    v_pitch = cv.atan2(vel[2], d2)
+
+    tx = jnp.zeros_like(ytd)
+    ty = HS.TARGET_Y * ytd
+    tz = jnp.full_like(ytd, HS.TARGET_Z)
+    gx = tx - st['ball_pos'][0]
+    gy = ty - st['ball_pos'][1]
+    gz = tz - st['ball_pos'][2]
+    g_d2 = jnp.sqrt(gx ** 2 + gy ** 2)
+    g_yaw = cv.atan2(gy, gx)
+    g_pitch = cv.atan2(gz, g_d2)
+
+    d_yaw = _wrap_k(g_yaw - v_yaw, np.pi)
+    d_pitch = _wrap_k(g_pitch - v_pitch, np.pi / 2)
+
+    f = (speed / HS.MAX_SPEED) * dt
+    new_yaw = _wrap_k(v_yaw + d_yaw * f * HS.HORIZONTAL_BLEND, np.pi)
+    new_pitch = jnp.clip(_wrap_k(v_pitch + d_pitch * f * HS.VERTICAL_BLEND,
+                                 np.pi / 2),
+                         -HS.MAX_TURN_PITCH, HS.MAX_TURN_PITCH)
+    new_yaw = _round_angle_ue3_k(new_yaw)
+    new_pitch = _round_angle_ue3_k(new_pitch)
+
+    new_speed = speed + (tspeed - speed) * HS.SPEED_BLEND
+    cp, sp = jnp.cos(new_pitch), jnp.sin(new_pitch)
+    new_vel = (cp * jnp.cos(new_yaw) * new_speed,
+               cp * jnp.sin(new_yaw) * new_speed,
+               sp * new_speed)
+
+    st = dict(st)
+    st['ball_vel'] = vwhere(active, new_vel, st['ball_vel'])
+    st['ball_hs'] = (ytd, tspeed,
+                     jnp.where(active, tsince + dt, tsince))
+    return st
+
+
+def _hs_on_hit(k: TickConsts, st, touched):
+    """Ball::_OnHit heatseeker branch (step._heatseeker_on_hit twin):
+    contacts fire per car in index order; last toucher wins."""
+    HS = C.Heatseeker
+    ytd, tspeed, tsince = st['ball_hs']
+    any_touch = touched[0]
+    new_dir = jnp.where(k.teams[0] == 0, 1.0, -1.0) * jnp.ones_like(ytd)
+    for c in range(1, k.num_cars):
+        any_touch = any_touch | touched[c]
+        d = 1.0 if k.teams[c] == 0 else -1.0
+        new_dir = jnp.where(touched[c], d, new_dir)
+    can_increase = (tsince > HS.MIN_SPEEDUP_INTERVAL) | (ytd == 0)
+    speedup = any_touch & can_increase & (new_dir != ytd)
+    st = dict(st)
+    st['ball_hs'] = (
+        jnp.where(any_touch, new_dir, ytd),
+        jnp.where(speedup,
+                  jnp.minimum(tspeed + HS.TARGET_SPEED_INCREMENT,
+                              HS.MAX_SPEED), tspeed),
+        jnp.where(speedup, 0.0, tsince))
+    return st
+
+
+def _hs_wall_bounce(k: TickConsts, st, touching, navg):
+    """Ball::_OnWorldCollision heatseeker branch (step.
+    _heatseeker_wall_bounce twin): deep backwall hits flip the target and
+    add a goal-ward bounce into the velocity cache.  Returns (st,
+    cache_dv Vec)."""
+    HS = C.Heatseeker
+    ytd, tspeed, tsince = st['ball_hs']
+    rel_normal_y = navg[1] * ytd
+    rel_y = st['ball_pos'][1] * ytd
+    flip = (touching & (ytd != 0)
+            & (rel_normal_y <= -HS.WALL_BOUNCE_CHANGE_Y_NORMAL)
+            & (rel_y >= C.ARENA_EXTENT_Y - HS.WALL_BOUNCE_CHANGE_Y_THRESH))
+    new_ytd = jnp.where(flip, -ytd, ytd)
+    tx = -st['ball_pos'][0]
+    ty = HS.TARGET_Y * new_ytd - st['ball_pos'][1]
+    tz = HS.TARGET_Z - st['ball_pos'][2]
+    dir_to_goal = vnormalize((tx, ty, tz))
+    up_frac = HS.WALL_BOUNCE_UP_FRAC
+    bx = dir_to_goal[0] * (1.0 - up_frac)
+    by = dir_to_goal[1] * (1.0 - up_frac)
+    bz = dir_to_goal[2] * (1.0 - up_frac) + up_frac
+    mag = vnorm(st['ball_vel']) * HS.WALL_BOUNCE_FORCE_SCALE
+    zero = jnp.zeros_like(ytd)
+    cache_dv = vwhere(flip, (bx * mag, by * mag, bz * mag),
+                      (zero, zero, zero))
+    st = dict(st)
+    st['ball_hs'] = (new_ytd, tspeed, tsince)
+    return st, cache_dv
 
 
 def step(k: TickConsts, st: dict, new_controls, respawn_idx,

@@ -430,8 +430,9 @@ def box_box_clamped_components(p1, R1, he1, p2, R2, he2):
     axis = vzero(zero)
 
     def upd(take, cc, inv_new, ax_new, s2, s, code, invert, axis):
+        # bool select as logical ops (Mosaic can't lower select_n on i1)
         return (jnp.where(take, s2, s), jnp.where(take, cc, code),
-                jnp.where(take, inv_new, invert),
+                (take & inv_new) | (~take & invert),
                 vwhere(take, ax_new, axis))
 
     for i in range(3):
@@ -577,7 +578,7 @@ def box_box_clamped_components(p1, R1, he1, p2, R2, he2):
         if k == 0:
             pt = vwhere(is_edge, edge_pt, pt)
             dp = jnp.where(is_edge, depth_axis, dp)
-            act = jnp.where(is_edge, True, dp >= 0)
+            act = is_edge | (~is_edge & (dp >= 0))
         else:
             act = (~is_edge) & (dp >= 0)
         act = act & ~separated & (code > 0)

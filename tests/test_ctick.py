@@ -327,3 +327,38 @@ def test_ctick_mesh_car_on_ball():
     np.testing.assert_allclose(np.asarray(got.arena.cars.pos[:, 0]),
                                np.asarray(ref.arena.cars.pos[:, 0]),
                                atol=5.0)
+
+
+def test_ctick_heatseeker_ball_steering():
+    """Heatseeker mode in the kernel: the ball steers toward the target
+    goal, speeds up on touch, and matches the XLA path tick-for-tick
+    (the steering math is pure ball logic — no contact churn)."""
+    params = stepmod.ArenaParams(num_cars=CARS, use_mesh=False,
+                                 dynamic_wheel_rays=False,
+                                 game_mode="heatseeker")
+    phys = _random_phys(jax.random.PRNGKey(60), params, airborne=False)
+    # activate seeking toward orange (+y), ball mid-air moving +y
+    ball = phys.arena.ball.replace(
+        pos=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 400.0]), (E, 3)),
+        vel=jnp.broadcast_to(jnp.asarray([300.0, 1200.0, 100.0]), (E, 3)),
+        ang_vel=jnp.zeros((E, 3)),
+        hs_y_target_dir=jnp.ones((E,)),
+        hs_target_speed=jnp.full((E,), C.Heatseeker.INITIAL_TARGET_SPEED))
+    cars = phys.arena.cars
+    cars = cars.replace(pos=cars.pos.at[:, :, 1].add(-2000.0))
+    phys = phys.replace(arena=phys.arena.replace(ball=ball, cars=cars))
+    controls = jnp.zeros((E, CARS, 8))
+
+    ref = _run_xla(phys, controls, params, jax.random.PRNGKey(61))
+    got = _run_ctick(phys, controls, params)
+    np.testing.assert_allclose(np.asarray(got.arena.ball.pos),
+                               np.asarray(ref.arena.ball.pos), atol=0.1)
+    np.testing.assert_allclose(np.asarray(got.arena.ball.vel),
+                               np.asarray(ref.arena.ball.vel), atol=0.5)
+    # the ball accelerated toward the heatseeker target speed
+    sp0 = float(jnp.linalg.norm(ball.vel[0]))
+    sp1 = float(jnp.linalg.norm(got.arena.ball.vel[0]))
+    assert sp1 > sp0 + 200.0, (sp0, sp1)
+    np.testing.assert_allclose(np.asarray(got.arena.ball.hs_time_since_hit),
+                               np.asarray(ref.arena.ball.hs_time_since_hit),
+                               atol=1e-6)
