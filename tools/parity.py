@@ -26,6 +26,11 @@ import numpy as np
 MAGIC = 0x4F52534A
 ORACLE_BIN = os.path.join(os.path.dirname(__file__), "oracle", "build",
                           "rs_oracle")
+# Chaos-control twin: same sources built with -march=native (FMA
+# contraction) — a second valid f32 rounding of the reference itself.
+# Built by `sh tools/oracle/build.sh fma`.
+ORACLE_BIN_FMA = os.path.join(os.path.dirname(__file__), "oracle",
+                              "build-fma", "rs_oracle")
 
 CAR_OUT_FIELDS = [
     "pos", "fwd", "right", "up", "vel", "ang_vel",      # 6x3
@@ -127,13 +132,15 @@ def default_cmf_dir() -> str:
     return d
 
 
-def run_oracle(scenarios, workdir=None, cmf_dir=None):
+def run_oracle(scenarios, workdir=None, cmf_dir=None, oracle_bin=None):
     """Returns a list of per-scenario dicts:
     {"ball": (T, 9), "cars": (T, C, CAR_OUT_FLOATS)}."""
     import tempfile
-    if not os.path.exists(ORACLE_BIN):
+    oracle_bin = oracle_bin or ORACLE_BIN
+    if not os.path.exists(oracle_bin):
         raise FileNotFoundError(
-            f"{ORACLE_BIN} not built; run tools/oracle/build.sh")
+            f"{oracle_bin} not built; run tools/oracle/build.sh"
+            + (" fma" if oracle_bin == ORACLE_BIN_FMA else ""))
     if cmf_dir is None:
         cmf_dir = default_cmf_dir()
     with tempfile.TemporaryDirectory(dir=workdir) as td:
@@ -141,7 +148,7 @@ def run_oracle(scenarios, workdir=None, cmf_dir=None):
         fout = os.path.join(td, "out.bin")
         with open(fin, "wb") as f:
             f.write(_pack_scenarios(scenarios))
-        cmd = [ORACLE_BIN, fin, fout]
+        cmd = [oracle_bin, fin, fout]
         if cmf_dir:
             cmd.append(cmf_dir)
         subprocess.run(cmd, check=True, timeout=600)

@@ -4,6 +4,7 @@ max divergence.  Run: python -m tools.parity_battery [T]
 Each scenario teacher-starts from an explicit state and runs T ticks of
 scripted controls through BOTH engines; errors are max over the trace.
 """
+import os
 import sys
 
 import numpy as np
@@ -143,7 +144,7 @@ def main(backend: str = "xla"):
               f"{dbv:9.2f} {','.join(bad_flags)}")
 
 
-def long_gate(T: int = 10_000, seed: int = 1234):
+def long_gate(T: int = 10_000, seed: int = 1234, control: bool = False):
     """BASELINE #1: the 10k-tick seeded replay gate.
 
     Two cars + ball from a kickoff-like state, driven by seeded
@@ -173,7 +174,16 @@ def long_gate(T: int = 10_000, seed: int = 1234):
                            right=(0.7071, -0.7071, 0), boost=33.3)]
     sc = parity.Scenario(cars=cars, controls=controls)
     ref = parity.run_oracle([sc])[0]
-    ours = parity.run_jax(sc)
+    if control:
+        # CHAOS CONTROL: the reference compared against ITSELF, rebuilt
+        # with FMA contraction (-march=native) — same sources, a second
+        # equally-valid float32 rounding.  Whatever divergence this shows
+        # is the pure chaotic sensitivity of a 10k-tick two-car replay,
+        # measured entirely inside the reference engine.
+        ours = parity.run_oracle([sc],
+                                 oracle_bin=parity.ORACLE_BIN_FMA)[0]
+    else:
+        ours = parity.run_jax(sc)
 
     gcf = parity.car_trace_field
     margins = {"car_pos": (0.8, np.abs(gcf(ref["cars"], "pos")
@@ -186,11 +196,15 @@ def long_gate(T: int = 10_000, seed: int = 1234):
                                         - ours["ball"][:, :3])),
                "ball_vel": (0.4, np.abs(ref["ball"][:, 3:6]
                                         - ours["ball"][:, 3:6]))}
-    print(f"LONG GATE: {T} ticks, seed {seed} "
+    tag = "CHAOS CONTROL (oracle -O2 vs oracle -O2 -march=native)" \
+        if control else "LONG GATE"
+    print(f"{tag}: {T} ticks, seed {seed} "
           f"(BallState::Matches margins)")
     results = {}
+    curves = {}
     for name, (margin, err) in margins.items():
         per_tick = err.reshape(err.shape[0], -1).max(-1)
+        curves[name] = per_tick
         ok = per_tick <= margin
         first_bad = int(np.argmin(ok)) if not ok.all() else -1
         results[name] = dict(margin=margin,
@@ -200,12 +214,17 @@ def long_gate(T: int = 10_000, seed: int = 1234):
         print(f"  {name:10s} margin={margin:<5} within={ok.mean()*100:6.2f}%"
               f" first_exceeded_tick={first_bad:6d}"
               f" max_err={per_tick.max():10.2f}")
+    dump = os.environ.get("RLT_GATE_DUMP")
+    if dump:
+        np.savez(dump, **curves)
+        print(f"  error curves -> {dump}")
     return results
 
 
 if __name__ == "__main__":
     if "--long" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
-        long_gate(int(args[0]) if args else 10_000)
+        long_gate(int(args[0]) if args else 10_000,
+                  control="--control" in sys.argv)
     else:
         main("pallas" if "--backend=pallas" in sys.argv else "xla")
