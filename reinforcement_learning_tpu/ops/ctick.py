@@ -278,45 +278,62 @@ def _keep_deepest4(cands):
     """4-slot manifold retention over a static candidate list.
 
     cands: list of (dist, act, payload-tuple-of-arrays).  Keeps the 4
-    DEEPEST live contacts (running replace-shallowest insertion).  The
-    reference's btPersistentManifold heuristic (keep deepest, then
-    maximize spanned area) differs only when >4 contacts are live at
-    once; the XLA path replicates it exactly (contacts.manifold_insert),
-    this kernel-side variant trades the area term for a 3x cheaper
-    sequential chain (documented in PARITY.md)."""
-    big = 1e30
-    d0 = cands[0][0]
-    slot_d = [jnp.full_like(d0, big) for _ in range(4)]
-    slot_occ = [jnp.zeros_like(d0, dtype=bool) for _ in range(4)]
-    slot_pay = [tuple(jnp.zeros_like(p) for p in cands[0][2])
-                for _ in range(4)]
-    for dist, act, pay in cands:
-        # shallowest (max dist; empty slots are +inf so they fill first)
-        m01 = jnp.where(slot_d[0] >= slot_d[1], 0, 1)
-        d01 = jnp.maximum(slot_d[0], slot_d[1])
-        m23 = jnp.where(slot_d[2] >= slot_d[3], 2, 3)
-        d23 = jnp.maximum(slot_d[2], slot_d[3])
-        mi = jnp.where(d01 >= d23, m01, m23)
-        dmax = jnp.maximum(d01, d23)
-        write = act & (dist < dmax)
-        for i in range(4):
-            w = write & (mi == i)
-            slot_d[i] = jnp.where(w, dist, slot_d[i])
-            slot_occ[i] = slot_occ[i] | w
-            slot_pay[i] = tuple(jnp.where(w, p, sp)
-                                for p, sp in zip(pay, slot_pay[i]))
+    DEEPEST live contacts.  The reference's btPersistentManifold
+    heuristic (keep deepest, then maximize spanned area) differs only
+    when >4 contacts are live at once; the XLA path replicates it
+    exactly (contacts.manifold_insert); this kernel-side variant keeps
+    the 4 smallest distances (documented in PARITY.md).
+
+    Implemented as 4 masked tree reductions over the stacked candidate
+    axis (min + first-argmin one-hot + payload gather-by-sum) — LOG
+    dependency depth instead of the old per-candidate insertion chain,
+    whose ~250-step select chains made XLA:CPU compiles pathological
+    once the seam-duplicate candidates landed."""
+    big = jnp.float32(1e30)
+    K = len(cands)
+    d = jnp.stack([jnp.where(act, dist, big) for dist, act, _ in cands])
+    P = len(cands[0][2])
+    pays = [jnp.stack([c[2][i] for c in cands]) for i in range(P)]
+    iota = jnp.arange(K, dtype=jnp.int32).reshape(
+        (K,) + (1,) * (d.ndim - 1))
+    slot_d, slot_occ, slot_pay = [], [], []
+    for _ in range(4):
+        dmin = jnp.min(d, axis=0)
+        hit = d == dmin[None]
+        first = jnp.min(jnp.where(hit, iota, K), axis=0)
+        one = hit & (iota == first[None])
+        onef = one.astype(d.dtype)
+        slot_d.append(dmin)
+        slot_occ.append(dmin < big)
+        slot_pay.append(tuple(jnp.sum(pp * onef, axis=0) for pp in pays))
+        d = jnp.where(one, big, d)
     return slot_d, slot_occ, slot_pay
 
 
 def _facet_sphere_manifold(k: TickConsts, pos, radius, break_gap):
     """Ball vs the facet arena: 4 retained contacts.
-    Returns list of 4 (n Vec, gap, occ)."""
+    Returns list of 4 (n Vec, gap, occ).
+
+    Candidates include the tessellation-seam duplicates
+    (facet_arena.sphere_contacts) and the floor/ceiling grid-triangle
+    regions (sheet_sphere_contacts) — the duplicate rows weight the
+    merged special contact's average normal exactly like the reference's
+    per-triangle manifold (ramp rides, goal-mouth net bounces)."""
     from reinforcement_learning_tpu.physics import facet_arena as fa
+    from reinforcement_learning_tpu.physics.mesh import (
+        CEILING_FILLET_RADIUS, FLOOR_FILLET_RADIUS)
     res = fa.sphere_contacts(pos[0], pos[1], pos[2], radius, break_gap,
                              tab=k.facets)
     z = jnp.zeros_like(pos[0])
     cands = [(gap, act, (nx + z, ny + z, nz + z, gap))
              for (nx, ny, nz, gap, act) in res]
+    H = C.ARENA_HEIGHT
+    for z0, up, inset in ((0.0, 1.0, FLOOR_FILLET_RADIUS),
+                          (H, -1.0, CEILING_FILLET_RADIUS)):
+        for nx, ny, nz, cx, cy, gap, act in fa.sheet_sphere_contacts(
+                pos[0], pos[1], pos[2], radius, break_gap, z0, up):
+            act = act & fa.sheet_clip_ok(k.facets, cx, cy, inset)
+            cands.append((gap, act, (nx + z, ny + z, nz + z, gap)))
     slot_d, slot_occ, slot_pay = _keep_deepest4(cands)
     return [((p[0], p[1], p[2]), p[3], occ)
             for p, occ in zip(slot_pay, slot_occ)]
@@ -326,15 +343,21 @@ def _facet_box_manifold(k: TickConsts, st, brk):
     """Car hitbox vs the facet arena: 4 retained face-based contacts.
     Returns list of 4 (n Vec, sup Vec, dist, occ).
 
-    The candidate set includes per-corner FLOOR/CEILING contacts: the
-    real mesh duplicates the infinite planes with floor/ceiling
-    triangles, and the reference resolves a tumbling landing through
-    those per-triangle points PLUS the plane's single support vertex
-    (oracle: 2 mesh + 1 plane rows at a flip landing).  The facet arena
-    omits the coplanar triangles, so without these rows a spinning
-    landing put its entire impulse through one corner (~500 uu/s
-    divergence at the impact tick of the pallas parity battery)."""
+    The candidate set includes FLOOR/CEILING per-triangle-region
+    contacts (facet_arena.sheet_box_contacts): the real mesh duplicates
+    the infinite planes with floor/ceiling grid triangles, and the
+    reference resolves a landing through one GJK contact PER overlapping
+    triangle — the deepest support clamped into each region, a hovering
+    corner's projection, or the closest box edge against a tessellation
+    seam line — PLUS the plane's single support vertex (oracle: the
+    rolling side landing of PARITY.md gets its dominant impulse from a
+    y=0 grid-seam contact).  Round 4's per-corner approximation put rows
+    at BOTH endpoints of a landing edge, which flattened edge-on side
+    landings (air_roll 663 uu/s); this per-region form reproduces
+    box_tri's actual witnesses."""
     from reinforcement_learning_tpu.physics import facet_arena as fa
+    from reinforcement_learning_tpu.physics.mesh import (
+        CEILING_FILLET_RADIUS, FLOOR_FILLET_RADIUS)
     box_center = vadd(st['pos'], cv.matvec(st['rot'],
                                            cv.vconst(k.hitbox_offset,
                                                      st['pos'][0])))
@@ -343,31 +366,24 @@ def _facet_box_manifold(k: TickConsts, st, brk):
     z = jnp.zeros_like(st['pos'][0])
     cands = [(dist, act, (nx + z, ny + z, nz + z, sx, sy, sz, dist))
              for (nx, ny, nz, sx, sy, sz, dist, act) in res]
-    # floor / ceiling "mesh duplicate" contacts at each hitbox corner,
-    # using the same margin law as the XLA box-triangle narrowphase
-    # (box_tri.box_triangle_contact): the GJK core is the corner shrunk
-    # by the 2uu convex margin, the reported distance subtracts the safe
-    # margin, and the contact point is on the surface plane
-    one = jnp.ones_like(z)
     H = C.ARENA_HEIGHT
     he = k.half_extents
     off = k.hitbox_offset
     core_m = C.MESH_COLLISION_MARGIN
     dist_m = min(C.MESH_COLLISION_MARGIN,
                  0.1 * float(np.min(np.asarray(he))))
-    for cl in k.corners_local:
-        sign = tuple(1.0 if cl[i] > off[i] else -1.0 for i in range(3))
-        core_cl = tuple(off[i] + sign[i] * (he[i] - core_m)
-                        for i in range(3))
-        corner = vadd(st['pos'], cv.matvec(st['rot'],
-                                           cv.vconst(core_cl,
-                                                     st['pos'][0])))
-        d_f = corner[2] - dist_m
-        cands.append((d_f, d_f < brk,
-                      (z, z, one, corner[0], corner[1], z, d_f)))
-        d_c = (H - corner[2]) - dist_m
-        cands.append((d_c, d_c < brk,
-                      (z, z, -one, corner[0], corner[1], H + z, d_c)))
+    for z0, up, inset in ((0.0, 1.0, FLOOR_FILLET_RADIUS),
+                          (H, -1.0, CEILING_FILLET_RADIUS)):
+        rows = fa.sheet_box_contacts(
+            st['pos'][0], st['pos'][1], st['pos'][2], st['rot'], he, off,
+            z0, up, core_m, dist_m, brk)
+        for nx, ny, nz, cx, cy, cz, dist, act in rows:
+            act = act & fa.sheet_clip_ok(k.facets, cx, cy, inset)
+            # lever arms use positionWorldOnA (= posB + n*dist, on the
+            # car), like resolve_car_world_mesh
+            cands.append((dist, act, (nx + z, ny + z, nz + z,
+                                      cx + z, cy + z,
+                                      cz + nz * dist + z, dist)))
     slot_d, slot_occ, slot_pay = _keep_deepest4(cands)
     return [((p[0], p[1], p[2]), (p[3], p[4], p[5]), p[6], occ)
             for p, occ in zip(slot_pay, slot_occ)]

@@ -205,8 +205,12 @@ def box_triangle_contact(pos, rot, he_full, core_margin, dist_margin,
     delta = p_box - p_tri
     n_sep = delta / jnp.maximum(dist_core, 1e-9)[..., None]
     # overlapping: MTV pushes the box out; contact point = deepest box
-    # support along -mtv, clamped to the triangle
-    sup = jnp.where(mtv < 0, he_core, -he_core)
+    # support along -mtv, clamped to the triangle.  Tie-break matches
+    # bullet's btFsels support (dir >= +-0 -> +he with dir = -mtv), which
+    # picks the +he corner when an axis is exactly perpendicular — the
+    # convention that decides which end of a landing edge the witness
+    # lands on (air_roll's side landing).
+    sup = jnp.where(mtv <= 0, he_core, -he_core)
     sup_tri = _closest_point_triangle(sup, lv0, lv1 - lv0, lv2 - lv0)
 
     n_local = jnp.where(overlap[..., None], mtv, n_sep)

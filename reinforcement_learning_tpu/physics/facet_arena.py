@@ -210,22 +210,27 @@ def tables() -> FacetTables:
 def _band_closest(t: FacetTables, b: int, side: int, w_q, t_q, z_q):
     """Closest point on band ``b`` of folded side ``side`` to the query
     (w_q, t_q, z_q) in side coordinates.  Returns (w_c, t_c, z_c,
-    convex_clamped) — convex_clamped marks a clamp onto the goal-opening
-    rim (the only convex boundary; every other clamp is a concave seam
-    where bullet's internal-edge adjustment snaps the contact normal to
-    the face normal, btInternalEdgeUtility.cpp:414-797)."""
+    convex_clamped, extras) — convex_clamped marks a clamp onto the
+    goal-opening rim; ``extras`` = (clamped_prof, clamped_lat, ell_c,
+    t_lo, t_hi) for the seam-duplicate and raw-normal logic of
+    sphere_contacts (bullet keeps the RAW interpolated edge normal on
+    angled seams — btInternalEdgeUtility's wedge clamp leaves a normal
+    already inside the wedge untouched; only coplanar seams snap)."""
     w0, z0 = t.w0[b], t.z0[b]
     tw, tz, L = t.tw[b], t.tz[b], t.length[b]
     # profile clamp (the band is an extrusion along t, so the profile and
     # lateral clamps are independent except for the slanted corner edges,
     # handled by the neighbouring side's facet)
-    ell = jnp.clip((w_q - w0) * tw + (z_q - z0) * tz, 0.0, L)
+    ell_raw = (w_q - w0) * tw + (z_q - z0) * tz
+    ell = jnp.clip(ell_raw, 0.0, L)
     w_c = w0 + tw * ell
     z_c = z0 + tz * ell
     # lateral bounds at the profile point
     t_lo = t.lo0[side] - t.loS[side] * w_c
     t_hi = t.hi0[side] - t.hiS[side] * w_c
     t_c = jnp.clip(t_q, t_lo, t_hi)
+    clamped_prof = (ell_raw < 0.0) | (ell_raw > L)
+    clamped_lat = (t_q < t_lo) | (t_q > t_hi)
     convex = None
     if side == 2 and t.cut_t0[b] > 0:
         # goal-opening cut: |t| < cut_t is absent; snap to the rim
@@ -235,7 +240,8 @@ def _band_closest(t: FacetTables, b: int, side: int, w_q, t_q, z_q):
         t_rim = jnp.where(t_rim == 0.0, cut, t_rim)
         t_c = jnp.where(in_cut, t_rim, t_c)
         convex = in_cut
-    return w_c, t_c, z_c, convex
+    return w_c, t_c, z_c, convex, (clamped_prof, clamped_lat, ell, t_lo,
+                                   t_hi)
 
 
 def _side_coords(t: FacetTables, side: int, px, py):
@@ -265,13 +271,16 @@ def sphere_contacts(px, py, pz, radius, break_gap, tab: FacetTables = None):
     sy = jnp.where(sy == 0, 1.0, sy)
     ax, ay = px * sx, py * sy
 
+    n_len = 8          # lateral quads per strip (mesh.build_soccar_mesh)
     out = []
     for side in range(N_SIDES):
         w_q, t_q = _side_coords(t, side, ax, ay)
         snx, sny = t.side_nx[side], t.side_ny[side]
         sux, suy = t.side_ux[side], t.side_uy[side]
         for b in range(N_PROFILE_BANDS):
-            w_c, t_c, z_c, convex = _band_closest(t, b, side, w_q, t_q, pz)
+            w_c, t_c, z_c, convex, ex = _band_closest(t, b, side, w_q, t_q,
+                                                      pz)
+            clamped_prof, clamped_lat, ell, t_lo, t_hi = ex
             dw = w_q - w_c
             dt_ = t_q - t_c
             dz = pz - z_c
@@ -279,20 +288,128 @@ def sphere_contacts(px, py, pz, radius, break_gap, tab: FacetTables = None):
             # signed side of the facet plane (two-sided triangles)
             s_d = (w_q - t.w0[b]) * t.nw[b] + (pz - t.z0[b]) * t.nz[b]
             sgn = jnp.where(s_d >= 0, 1.0, -1.0)
-            # face normal (concave seams snap to it — internal-edge adjust)
             fn_w, fn_z = t.nw[b] * sgn, t.nz[b] * sgn
+            # a clamp at a COPLANAR profile seam snaps to the face normal
+            # (internal-edge flat case); angled seams keep the raw
+            # interpolated edge normal (bullet's wedge clamp is a no-op
+            # for a normal already between the two face normals)
+            def _flat(b2):
+                return (0 <= b2 < N_PROFILE_BANDS
+                        and abs(t.nw[b2] - t.nw[b]) < 1e-9
+                        and abs(t.nz[b2] - t.nz[b]) < 1e-9)
+            lo_flat, hi_flat = _flat(b - 1), _flat(b + 1)
+            ell_lo = ell <= 0.0
+            raw_prof = clamped_prof & ~((ell_lo & lo_flat)
+                                        | (~ell_lo & hi_flat))
+            use_raw = raw_prof | clamped_lat
             if convex is not None:
-                inv = 1.0 / jnp.maximum(dist, 1e-6)
-                use_delta = convex & (dist > 1e-6)
-                n_w = jnp.where(use_delta, dw * inv, fn_w)
-                n_t = jnp.where(use_delta, dt_ * inv, 0.0)
-                n_z = jnp.where(use_delta, dz * inv, fn_z)
-            else:
-                n_w, n_t, n_z = fn_w, jnp.zeros_like(dist), fn_z
+                use_raw = use_raw | convex
+            use_raw = use_raw & (dist > 1e-6)
+            inv = 1.0 / jnp.maximum(dist, 1e-6)
+            n_w = jnp.where(use_raw, dw * inv, fn_w)
+            n_t = jnp.where(use_raw, dt_ * inv, jnp.zeros_like(dist))
+            n_z = jnp.where(use_raw, dz * inv, fn_z)
             nx, ny, nz = _unfold_normal(snx, sny, sux, suy,
                                         n_w, n_t, n_z, sx, sy)
             gap = dist - radius
             out.append((nx, ny, nz, gap, gap < break_gap))
+
+            # --- coplanar tessellation-seam duplicates (the real mesh
+            # splits each strip into n_len quads, each fan-split by a
+            # diagonal; a sphere near a seam gets one contact PER
+            # triangle, all snapping to the same face normal — the
+            # duplicate rows weight the merged-contact average exactly
+            # like the reference's manifold, PARITY.md "ramp rides")
+            face_ok = ~(clamped_prof | clamped_lat)
+            if convex is not None:
+                face_ok = face_ok & ~convex
+            fnx, fny, fnz = _unfold_normal(snx, sny, sux, suy,
+                                           fn_w, jnp.zeros_like(dist),
+                                           fn_z, sx, sy)
+            span = t_hi - t_lo
+            u_frac = (t_c - t_lo) / span
+            perp2 = s_d * s_d
+            # nearest lateral u-break (incl. the goal-post breaks the
+            # back wall inserts at |t| = GOAL_HALF_WIDTH)
+            t_s = t_lo + span * (jnp.round(u_frac * n_len) / n_len)
+            d_lat = jnp.abs(t_c - t_s)
+            if side == 2:
+                d_post = jnp.abs(jnp.abs(t_c) - C.GOAL_HALF_WIDTH)
+                d_lat = jnp.minimum(d_lat, d_post)
+            big = jnp.full_like(dist, 1e9)
+            gap_lat = jnp.where(
+                face_ok, jnp.sqrt(perp2 + d_lat * d_lat) - radius, big)
+            out.append((fnx, fny, fnz, gap_lat, gap_lat < break_gap))
+            # --- the containing quad's fan-partner triangle: its closest
+            # point lands on one of ITS boundary edges — the diagonal or
+            # lateral edges are coplanar (face normal), but a clamp onto
+            # the PROFILE edge is the band-to-band seam, where bullet
+            # keeps the raw interpolated edge normal (the (-0.375…)
+            # contacts of the PARITY.md ramp ride).  Quad = p00 p10 p11 +
+            # p00 p11 p01 in (t, ell) band coordinates.
+            L = t.length[b]
+            j0 = jnp.clip(jnp.floor(u_frac * n_len), 0, n_len - 1)
+            t_a = t_lo + span * (j0 / n_len)
+            dgt = span / n_len
+            t_b = t_a + dgt
+            below = ell * dgt <= (t_c - t_a) * L
+
+            def _seg2(axp, ayp, bxp, byp):
+                dx_, dy_ = bxp - axp, byp - ayp
+                ss = jnp.clip(((t_c - axp) * dx_ + (ell - ayp) * dy_)
+                              / jnp.maximum(dx_ * dx_ + dy_ * dy_, 1e-12),
+                              0.0, 1.0)
+                wx_, wy_ = axp + dx_ * ss, ayp + dy_ * ss
+                return ((t_c - wx_) ** 2 + (ell - wy_) ** 2, wx_, wy_)
+
+            zero_ = jnp.zeros_like(dist)
+            d2_dg, wt_dg, wl_dg = _seg2(t_a + zero_, zero_, t_b + zero_,
+                                        L + zero_)
+            prof_l = jnp.where(below, L, 0.0)
+            d2_pr, wt_pr, wl_pr = _seg2(t_a + zero_, prof_l, t_b + zero_,
+                                        prof_l)
+            lat_t = jnp.where(below, t_a, t_b)
+            d2_la, wt_la, wl_la = _seg2(lat_t, zero_, lat_t, L + zero_)
+            prof_best = (d2_pr <= d2_dg) & (d2_pr <= d2_la)
+            d2_p = jnp.minimum(d2_dg, jnp.minimum(d2_pr, d2_la))
+            t_w = jnp.where(prof_best, wt_pr,
+                            jnp.where(d2_dg <= d2_la, wt_dg, wt_la))
+            ell_w = jnp.where(prof_best, wl_pr,
+                              jnp.where(d2_dg <= d2_la, wl_dg, wl_la))
+            dist_p = jnp.sqrt(perp2 + d2_p)
+            # raw interpolated normal from the witness (side coords)
+            w_w = t.w0[b] + t.tw[b] * ell_w
+            z_w = t.z0[b] + t.tz[b] * ell_w
+            pdw = w_q - w_w
+            pdt = t_q - t_w
+            pdz = pz - z_w
+            pinv = 1.0 / jnp.maximum(dist_p, 1e-6)
+            # seam flatness: ell_w == L -> seam with band b+1, else b-1
+            # (static per-band bools -> fold at trace time)
+            if hi_flat and lo_flat:
+                not_flat = jnp.zeros_like(below)
+            elif not hi_flat and not lo_flat:
+                not_flat = jnp.ones_like(below)
+            elif hi_flat:
+                not_flat = ~below
+            else:
+                not_flat = below
+            p_raw = prof_best & not_flat & (dist_p > 1e-6)
+            pn_w = jnp.where(p_raw, pdw * pinv, fn_w)
+            pn_t = jnp.where(p_raw, pdt * pinv, jnp.zeros_like(dist))
+            pn_z = jnp.where(p_raw, pdz * pinv, fn_z)
+            pnx, pny, pnz = _unfold_normal(snx, sny, sux, suy,
+                                           pn_w, pn_t, pn_z, sx, sy)
+            gap_p = jnp.where(face_ok, dist_p - radius, big)
+            act_p = gap_p < break_gap
+            out.append((pnx, pny, pnz, gap_p, act_p))
+            # the mirrored quad across the nearest lateral seam carries
+            # an almost-identical partner contact (the oracle's +-y
+            # seam-contact pairs); active when the lateral seam itself
+            # is in range
+            out.append((pnx, pny, pnz,
+                        jnp.where(gap_lat < break_gap, gap_p, big),
+                        act_p & (gap_lat < break_gap)))
 
     out.extend(_goal_sphere(ax, ay, pz, sx, sy, radius, break_gap))
     return out
@@ -324,6 +441,12 @@ def _goal_rects():
 
 
 def _goal_sphere(ax, ay, pz, sx, sy, radius, break_gap):
+    # tessellation of the goal-box patches (mesh.build_soccar_mesh:
+    # _grid_patch divisions): seam spacing per folded axis.  u folded
+    # |x| seams start at 0; y/z seams start at the rect lower bound.
+    gw, gh, gd = C.GOAL_HALF_WIDTH, C.GOAL_HEIGHT, C.GOAL_DEPTH
+    ey = C.ARENA_EXTENT_Y
+    seam = {0: (0.0, 2 * gw / 8), 1: (ey, gd / 2), 2: (0.0, gh / 2)}
     out = []
     coords = (ax, ay, pz)
     for axis, value, nsign, (ua, ulo, uhi), (va, vlo, vhi), mouth in \
@@ -349,6 +472,27 @@ def _goal_sphere(ax, ay, pz, sx, sy, radius, break_gap):
         nx, ny, nz = comp[0] * sx, comp[1] * sy, comp[2]
         gap = dist - radius
         out.append((nx, ny, nz, gap, gap < break_gap))
+
+        # tessellation-seam duplicate (nearest u/v grid seam of the
+        # patch): one extra coplanar contact per neighbouring triangle,
+        # face normal (flat internal edges snap) — e.g. the net bounce
+        # at x=0 rides a u-break and the reference manifold carries the
+        # contact twice (PARITY.md "goal mouth")
+        interior = (u_q > ulo) & (u_q < uhi) & (v_q > vlo) & (v_q < vhi)
+        fcomp = {axis: sgn, ua: jnp.zeros_like(dist),
+                 va: jnp.zeros_like(dist)}
+        fnx, fny, fnz = fcomp[0] * sx, fcomp[1] * sy, fcomp[2]
+        big = jnp.full_like(dist, 1e9)
+        d_seam = big
+        for aid in (ua, va):
+            o, s = seam[aid]
+            q = coords[aid]
+            d_ax = jnp.abs(q - (o + s * jnp.round((q - o) / s)))
+            d_seam = jnp.minimum(d_seam, d_ax)
+        gap_s = jnp.where(interior,
+                          jnp.sqrt(w_q * w_q + d_seam * d_seam) - radius,
+                          big)
+        out.append((fnx, fny, fnz, gap_s, gap_s < break_gap))
     return out
 
 
@@ -424,6 +568,259 @@ def box_contacts(px, py, pz, rot, he, brk, tab: FacetTables = None,
         act = (dist < brk) & in_u & in_v
         out.append((nx, ny, nz, sup_x, sup_y, sup_z, dist, act))
     return out
+
+
+def _seg_line_closest(ax, ay, ah, bx, by, bh, q0x, q0y, ux, uy):
+    """Closest pair between segment [a, b] (components incl. height h) and
+    the infinite line q0 + t*(ux, uy, 0) lying in the sheet plane (h = 0).
+    Returns (cx, cy, dist) — the witness ON THE LINE and the distance."""
+    dx, dy, dh = bx - ax, by - ay, bh - ah
+    wx, wy = ax - q0x, ay - q0y
+    b = dx * ux + dy * uy
+    e = wx * ux + wy * uy
+    # segment direction with the line component removed
+    rx, ry, rh = dx - b * ux, dy - b * uy, dh
+    vx, vy, vh = wx - e * ux, wy - e * uy, ah
+    denom = rx * rx + ry * ry + rh * rh
+    s = jnp.where(denom > 1e-12,
+                  -(vx * rx + vy * ry + vh * rh)
+                  / jnp.maximum(denom, 1e-12), 0.0)
+    s = jnp.clip(s, 0.0, 1.0)
+    t = e + s * b
+    cx, cy = q0x + t * ux, q0y + t * uy
+    px_, py_, ph_ = ax + s * dx, ay + s * dy, ah + s * dh
+    dist = jnp.sqrt((px_ - cx) ** 2 + (py_ - cy) ** 2 + ph_ * ph_)
+    return cx, cy, dist
+
+
+# Box corner sign patterns and edge enumeration shared with the exact
+# narrowphase (box_tri._CORNER_SIGNS order = bullet's support tie-break
+# order); host-side constants.
+_SHEET_CORNER_SIGNS = [(sx, sy, sz)
+                       for sx in (-1.0, 1.0)
+                       for sy in (-1.0, 1.0)
+                       for sz in (-1.0, 1.0)]
+_SHEET_EDGES = []
+for _i in range(8):
+    for _axis, _stride in ((0, 4), (1, 2), (2, 1)):
+        _j = _i + _stride
+        if _j < 8 and _SHEET_CORNER_SIGNS[_i][_axis] < 0 and sum(
+                a * b for a, b in zip(_SHEET_CORNER_SIGNS[_i],
+                                      _SHEET_CORNER_SIGNS[_j])) == 1.0:
+            _SHEET_EDGES.append((_i, _j))
+assert len(_SHEET_EDGES) == 12
+
+
+def sheet_box_contacts(px, py, pz, rot, he, off, z0, up_sign,
+                       core_margin, dist_margin, brk, cell=1024.0):
+    """Oriented box vs ONE tessellated horizontal sheet — the floor (z=0)
+    or ceiling (z=H) 1024-uu clipped grid of ``mesh.build_soccar_mesh``
+    (``_clipped_sheet``: square cells fan-split along the (+1,+1)
+    corner diagonal).
+
+    Emulates the exact per-triangle narrowphase
+    (``box_tri.box_triangle_contact``, the XLA engine's oracle-parity
+    path) WITHOUT gathers, one contact per nearby triangle REGION:
+
+      0. the region containing the deepest core support point
+         (= box_tri's overlap witness: global support clamped = itself),
+      1. the diagonal-partner region of the same cell,
+      2. across the nearest x-seam (x = 1024 i),
+      3. across the nearest y-seam.
+
+    Per neighbor region the contact follows box_tri's feature cases:
+    a core corner below the sheet inside the region -> the global SAT
+    overlap law (dist = core support height - dist_margin, point = support
+    clamped onto the seam); a corner hovering over the region -> its
+    vertical projection; otherwise the closest box edge to the seam line
+    (whose witness internal-edge-adjusts onto the face normal, like the
+    y=0 seam contact Bullet produces at a rolling side landing).
+
+    Components in, list of 4 rows (nx, ny, nz, cx, cy, cz, dist, active)
+    out.  ``rot`` nested 3x3 row tuples; ``he``/``off`` 3-tuples of
+    floats; ``up_sign`` +1 floor / -1 ceiling; heights are measured as
+    ``up_sign * (z - z0)``.  Region membership ignores the octagon clip
+    (sheet cells near the walls are cut; the fillet band facets cover
+    those surfaces)."""
+    hc = tuple(he[i] - core_margin for i in range(3))
+    zero = jnp.zeros_like(px)
+
+    def h_of(z):
+        return up_sign * (z - z0)
+
+    # deepest core support against the sheet normal (box_tri tie-break:
+    # d >= 0 -> -he)
+    sup_x, sup_y, sup_z = px, py, pz
+    r_core = zero
+    for j in range(3):
+        axj = (rot[0][j], rot[1][j], rot[2][j])
+        # rotate the hitbox offset into the support base
+        sup_x = sup_x + axj[0] * off[j]
+        sup_y = sup_y + axj[1] * off[j]
+        sup_z = sup_z + axj[2] * off[j]
+        d = up_sign * axj[2]
+        r_core = r_core + jnp.abs(d) * hc[j]
+        # bullet support tie-break (btFsels: dir >= 0 -> +he, with the
+        # support direction being -n, so d == +-0 -> +he)
+        s = jnp.where(-d >= 0, hc[j], -hc[j])
+        sup_x = sup_x + axj[0] * s
+        sup_y = sup_y + axj[1] * s
+        sup_z = sup_z + axj[2] * s
+    h_sup = h_of(sup_z)
+
+    # core corner positions + heights
+    cxs, cys, chs = [], [], []
+    for sgn in _SHEET_CORNER_SIGNS:
+        lx = tuple(off[i] + sgn[i] * hc[i] for i in range(3))
+        wx = px + rot[0][0] * lx[0] + rot[0][1] * lx[1] + rot[0][2] * lx[2]
+        wy = py + rot[1][0] * lx[0] + rot[1][1] * lx[1] + rot[1][2] * lx[2]
+        wz = pz + rot[2][0] * lx[0] + rot[2][1] * lx[1] + rot[2][2] * lx[2]
+        cxs.append(wx)
+        cys.append(wy)
+        chs.append(h_of(wz))
+
+    # cell of the support point; nearest seams; cell-corner diagonal
+    ox = jnp.floor(sup_x / cell) * cell
+    oy = jnp.floor(sup_y / cell) * cell
+    fx, fy = sup_x - ox, sup_y - oy
+    xs = jnp.where(fx < cell / 2, ox, ox + cell)
+    ys = jnp.where(fy < cell / 2, oy, oy + cell)
+    sup_lower = (fx - fy) >= 0          # support in the fan's lower tri
+
+    inv_sqrt2 = 0.7071067811865476
+
+    def region_row(in_corner_fn, clamp_fn, line):
+        """One neighbor-region contact row.  in_corner_fn(i) -> bool mask
+        for core corner i inside the region; clamp_fn() -> (x, y) support
+        clamped onto the region boundary; line = (q0x, q0y, ux, uy)."""
+        dmin = jnp.full_like(px, jnp.inf)
+        wx_c = zero
+        wy_c = zero
+        for i in range(8):
+            inside = in_corner_fn(i)
+            better = inside & (chs[i] < dmin)
+            dmin = jnp.where(better, chs[i], dmin)
+            wx_c = jnp.where(better, cxs[i], wx_c)
+            wy_c = jnp.where(better, cys[i], wy_c)
+        # closest box edge to the seam line (witness on the line)
+        q0x, q0y, ux, uy = line
+        d_seam = jnp.full_like(px, jnp.inf)
+        sx_w = zero
+        sy_w = zero
+        for (i, j) in _SHEET_EDGES:
+            ex, ey, ed = _seg_line_closest(cxs[i], cys[i], chs[i],
+                                           cxs[j], cys[j], chs[j],
+                                           q0x, q0y, ux, uy)
+            closer = ed < d_seam
+            d_seam = jnp.where(closer, ed, d_seam)
+            sx_w = jnp.where(closer, ex, sx_w)
+            sy_w = jnp.where(closer, ey, sy_w)
+        clx, cly = clamp_fn()
+        overlap = dmin < 0.0
+        # separated: closest feature to the region — the lower of (an
+        # in-region corner's vertical projection) and (the closest box
+        # edge against the boundary seam line)
+        use_corner = dmin < d_seam
+        d_sep = jnp.minimum(dmin, d_seam)
+        dist = jnp.where(overlap, h_sup, d_sep) - dist_margin
+        cx = jnp.where(overlap, clx, jnp.where(use_corner, wx_c, sx_w))
+        cy = jnp.where(overlap, cly, jnp.where(use_corner, wy_c, sy_w))
+        return cx, cy, dist
+
+    rows = []
+    nz_ = jnp.full_like(px, float(up_sign))
+    z_sheet = jnp.full_like(px, float(z0))
+
+    # 0. containing region: box_tri's own-triangle contact
+    dist0 = h_sup - dist_margin
+    rows.append((zero, zero, nz_, sup_x, sup_y, z_sheet, dist0,
+                 dist0 < brk))
+
+    # 1. diagonal partner (line through (ox, oy), direction (1, 1))
+    def diag_in(i):
+        side_i = (cxs[i] - ox) - (cys[i] - oy) >= 0
+        return side_i != sup_lower
+
+    def diag_clamp():
+        # project sup onto the diagonal
+        t = ((sup_x - ox) + (sup_y - oy)) * 0.5
+        return ox + t, oy + t
+
+    cx1, cy1, d1 = region_row(diag_in, diag_clamp,
+                              (ox, oy, inv_sqrt2, inv_sqrt2))
+    rows.append((zero, zero, nz_, cx1, cy1, z_sheet, d1, d1 < brk))
+
+    # 2. across the nearest x-seam
+    sup_right = sup_x >= xs
+
+    def xseam_in(i):
+        return (cxs[i] >= xs) != sup_right
+
+    cx2, cy2, d2 = region_row(xseam_in, lambda: (xs, sup_y),
+                              (xs, oy, jnp.zeros_like(px) + 0.0, 1.0))
+    rows.append((zero, zero, nz_, cx2, cy2, z_sheet, d2, d2 < brk))
+
+    # 3. across the nearest y-seam
+    sup_above = sup_y >= ys
+
+    def yseam_in(i):
+        return (cys[i] >= ys) != sup_above
+
+    cx3, cy3, d3 = region_row(yseam_in, lambda: (sup_x, ys),
+                              (ox, ys, 1.0, jnp.zeros_like(px) + 0.0))
+    rows.append((zero, zero, nz_, cx3, cy3, z_sheet, d3, d3 < brk))
+    return rows
+
+
+def sheet_sphere_contacts(px, py, pz, radius, break_gap, z0, up_sign,
+                          cell=1024.0):
+    """Sphere vs one tessellated horizontal sheet (floor z=0 / ceiling
+    z=H 1024-uu grid): per-triangle-region contacts — the containing
+    triangle's foot contact (a coplanar duplicate of the static plane,
+    which the reference world carries as a separate body) plus seam
+    duplicates across the cell diagonal and the nearest x/y grid seams.
+    All normals are the face normal (flat internal edges snap).  Returns
+    a list of 4 (nx, ny, nz, cx, cy, gap, active) rows; cx/cy is the
+    witness for the octagon-clip gate."""
+    zero = jnp.zeros_like(px)
+    nz_ = jnp.full_like(px, float(up_sign))
+    h = up_sign * (pz - z0)
+    ox = jnp.floor(px / cell) * cell
+    oy = jnp.floor(py / cell) * cell
+    fx, fy = px - ox, py - oy
+    xs = jnp.where(fx < cell / 2, ox, ox + cell)
+    ys = jnp.where(fy < cell / 2, oy, oy + cell)
+    h2 = h * h
+    rows = []
+    gap0 = jnp.abs(h) - radius
+    rows.append((zero, zero, nz_, px, py, gap0, gap0 < break_gap))
+    inv_sqrt2 = 0.7071067811865476
+    d_diag = jnp.abs(fx - fy) * inv_sqrt2
+    t_d = (fx + fy) * 0.5
+    gap_d = jnp.sqrt(h2 + d_diag * d_diag) - radius
+    rows.append((zero, zero, nz_, ox + t_d, oy + t_d, gap_d,
+                 gap_d < break_gap))
+    d_x = jnp.abs(px - xs)
+    gap_x = jnp.sqrt(h2 + d_x * d_x) - radius
+    rows.append((zero, zero, nz_, xs, py, gap_x, gap_x < break_gap))
+    d_y = jnp.abs(py - ys)
+    gap_y = jnp.sqrt(h2 + d_y * d_y) - radius
+    rows.append((zero, zero, nz_, px, ys, gap_y, gap_y < break_gap))
+    return rows
+
+
+def sheet_clip_ok(tab: FacetTables, cx, cy, inset: float, eps: float = 1.0):
+    """True where (cx, cy) lies inside the sheet's octagon clip boundary
+    (the inward-offset octagon at the sheet's fillet inset) — the region
+    where floor/ceiling grid triangles exist (``mesh._clipped_sheet``)."""
+    sx = jnp.where(cx >= 0, 1.0, -1.0)
+    sy = jnp.where(cy >= 0, 1.0, -1.0)
+    ax, ay = cx * sx, cy * sy
+    ok = jnp.ones_like(cx, dtype=bool)
+    for side in range(N_SIDES):
+        w_q, _ = _side_coords(tab, side, ax, ay)
+        ok &= w_q <= -inset + eps
+    return ok
 
 
 def _box_support(px, py, pz, rot, he, nx, ny, nz):

@@ -362,3 +362,89 @@ def test_ctick_heatseeker_ball_steering():
     np.testing.assert_allclose(np.asarray(got.arena.ball.hs_time_since_hit),
                                np.asarray(ref.arena.ball.hs_time_since_hit),
                                atol=1e-6)
+
+
+def test_ctick_heatseeker_touch_parity():
+    """A car actually TOUCHING the heatseeker ball: the per-touch state
+    machine (_hs_on_hit — target dir from the toucher's team, speedup
+    gating, timer reset) must match the XLA path (advisor round-4: the
+    steering test kept cars 2000uu away, leaving the touch twins
+    uncovered)."""
+    params = stepmod.ArenaParams(num_cars=CARS, use_mesh=False,
+                                 dynamic_wheel_rays=False,
+                                 game_mode="heatseeker")
+    phys = _random_phys(jax.random.PRNGKey(70), params, airborne=False)
+    ball = phys.arena.ball.replace(
+        pos=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 93.15]), (E, 3)),
+        vel=jnp.zeros((E, 3)), ang_vel=jnp.zeros((E, 3)),
+        hs_y_target_dir=jnp.zeros((E,)),     # idle: first touch activates
+        hs_target_speed=jnp.full((E,), C.Heatseeker.INITIAL_TARGET_SPEED))
+    cars = phys.arena.cars
+    # car 0 (team 0, blue) drives straight into the ball
+    pos0 = jnp.asarray([-160.0, 0.0, 17.01])
+    cars = cars.replace(
+        pos=cars.pos.at[:, 0].set(pos0),
+        vel=cars.vel.at[:, 0].set(jnp.asarray([900.0, 0.0, 0.0])),
+        rot=cars.rot.at[:, 0].set(jnp.eye(3)))
+    # park the others far away
+    if CARS > 1:
+        cars = cars.replace(pos=cars.pos.at[:, 1:, 1].add(-3000.0))
+    phys = phys.replace(arena=phys.arena.replace(ball=ball, cars=cars))
+    controls = jnp.zeros((E, CARS, 8)).at[:, 0, 0].set(1.0)
+
+    ref = phys
+    got = phys
+    for i in range(3):
+        ref = _run_xla(ref, controls, params, jax.random.PRNGKey(71 + i))
+        got = _run_ctick(got, controls, params)
+    # the touch activated seeking toward orange (+y, blue toucher)
+    assert (np.asarray(ref.arena.ball.hs_y_target_dir) == 1.0).all()
+    np.testing.assert_array_equal(
+        np.asarray(got.arena.ball.hs_y_target_dir),
+        np.asarray(ref.arena.ball.hs_y_target_dir))
+    np.testing.assert_allclose(
+        np.asarray(got.arena.ball.hs_target_speed),
+        np.asarray(ref.arena.ball.hs_target_speed), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got.arena.ball.hs_time_since_hit),
+        np.asarray(ref.arena.ball.hs_time_since_hit), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.arena.ball.vel),
+                               np.asarray(ref.arena.ball.vel), atol=0.5)
+
+
+def test_ctick_heatseeker_backwall_parity():
+    """Heatseeker ball bouncing off the target back wall: the wall-bounce
+    twin (_hs_wall_bounce — y target flip + speed blend) must match the
+    XLA path."""
+    params = stepmod.ArenaParams(num_cars=CARS, use_mesh=False,
+                                 dynamic_wheel_rays=False,
+                                 game_mode="heatseeker")
+    phys = _random_phys(jax.random.PRNGKey(80), params, airborne=False)
+    ball = phys.arena.ball.replace(
+        # just inside the back wall, heading into it, OUTSIDE the goal
+        # opening (x beyond the goal half width) so it bounces
+        pos=jnp.broadcast_to(jnp.asarray([2500.0, 5000.0, 400.0]), (E, 3)),
+        vel=jnp.broadcast_to(jnp.asarray([0.0, 1500.0, 0.0]), (E, 3)),
+        ang_vel=jnp.zeros((E, 3)),
+        hs_y_target_dir=jnp.ones((E,)),
+        hs_target_speed=jnp.full((E,), 2000.0))
+    cars = phys.arena.cars
+    cars = cars.replace(pos=cars.pos.at[:, :, 1].add(-3000.0))
+    phys = phys.replace(arena=phys.arena.replace(ball=ball, cars=cars))
+    controls = jnp.zeros((E, CARS, 8))
+
+    ref = phys
+    got = phys
+    for i in range(3):
+        ref = _run_xla(ref, controls, params, jax.random.PRNGKey(81 + i))
+        got = _run_ctick(got, controls, params)
+    # the bounce flipped the seek direction to blue (-y)
+    assert (np.asarray(ref.arena.ball.hs_y_target_dir) == -1.0).all()
+    np.testing.assert_array_equal(
+        np.asarray(got.arena.ball.hs_y_target_dir),
+        np.asarray(ref.arena.ball.hs_y_target_dir))
+    np.testing.assert_allclose(
+        np.asarray(got.arena.ball.hs_target_speed),
+        np.asarray(ref.arena.ball.hs_target_speed), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.arena.ball.vel),
+                               np.asarray(ref.arena.ball.vel), atol=0.5)

@@ -153,3 +153,52 @@ def test_translate_matches_direct_protocol(policy_blob, tmp_path):
     # controls convert into the rlbot controller-state shape
     s = rpa.controls_to_simple_state(list(direct[-1].values())[0])
     assert hasattr(s, "throttle") and isinstance(s.jump, bool)
+
+
+def test_real_ctypes_packet_bytes_end_to_end(policy_blob, tmp_path):
+    """REAL-layout evidence for the last mile: GameTickPacket /
+    FieldInfoPacket built as actual ctypes structures (the exact memory
+    layout the live rlbot framework hands agents,
+    tests/rlbot_structs.py), serialized to raw bytes, re-parsed with
+    ``from_buffer_copy``, and driven through the translator + native bot
+    server — the control stream must match the direct binary protocol."""
+    from tests import rlbot_structs as rs
+
+    blob_path, *_ = policy_blob
+    packets = _scripted_packets(40, np.random.default_rng(7))
+    for p in packets:  # rlbot carries boost as c_int
+        for pl in p["players"]:
+            pl["boost"] = float(int(pl["boost"]))
+
+    with bot_bridge.BotServer(blob_path, tick_skip=8, action_delay=7,
+                              workdir=str(tmp_path)) as server:
+        bot_bridge.add_bot(server.port, "ct-bot", 0, 0)
+        client = bot_bridge.PacketClient(server.port)
+        direct = [client.send_packet(**p) for p in packets]
+        client.close()
+
+    ref = np.asarray(C.BOOST_PAD_LOCS_SOCCAR)
+    order = np.random.RandomState(11).permutation(len(ref))
+    fi = rs.build_field_info([tuple(ref[i]) for i in order])
+    fi_bytes = bytes(fi)
+    fi2 = rs.FieldInfoPacket.from_buffer_copy(fi_bytes)
+    pad_locs = [(fi2.boost_pads[i].location.x, fi2.boost_pads[i].location.y,
+                 fi2.boost_pads[i].location.z)
+                for i in range(fi2.num_boosts)]
+
+    with bot_bridge.BotServer(blob_path, tick_skip=8, action_delay=7,
+                              workdir=str(tmp_path)) as server:
+        bot_bridge.add_bot(server.port, "ct-bot", 0, 0)
+        bridge = rpa.NativeBridge(server.port, pad_locs)
+        via_ctypes = []
+        for p in packets:
+            raw = bytes(rs.build_game_tick_packet(p))   # the wire bytes
+            pkt = rs.GameTickPacket.from_buffer_copy(raw)
+            via_ctypes.append(dict(bridge.step(pkt)))
+        bridge.client.close()
+
+    assert len(direct) == len(via_ctypes)
+    for a, b in zip(direct, via_ctypes):
+        assert a.keys() == b.keys()
+        for idx in a:
+            np.testing.assert_allclose(a[idx], b[idx], atol=1e-6)

@@ -16,7 +16,7 @@ from tools import parity, parity_battery
 
 
 def run(name: str, T: int = 240, t0: int = 1, t1: int = None,
-        quiet: bool = False):
+        quiet: bool = False, backend: str = "xla"):
     import jax
     import jax.numpy as jnp
 
@@ -26,16 +26,37 @@ def run(name: str, T: int = 240, t0: int = 1, t1: int = None,
     ref = parity.run_oracle([sc])[0]
     gcf = parity.car_trace_field
 
-    params = stepmod.ArenaParams(num_cars=sc.n_cars, use_mesh=True)
+    params = stepmod.ArenaParams(num_cars=sc.n_cars, use_mesh=True,
+                                 dynamic_wheel_rays=(backend == "ctick"))
     phys0 = stepmod.make_physics_state(params)
     teams = jnp.asarray([c.team for c in sc.cars], jnp.int32)
 
-    @jax.jit
-    def tick(phys, controls):
-        cars = phys.arena.cars.replace(controls=controls)
-        phys = phys.replace(arena=phys.arena.replace(cars=cars))
-        return stepmod.arena_tick(phys, teams, jax.random.PRNGKey(0),
-                                  params)
+    if backend == "ctick":
+        # the megakernel tick body, jitted directly (same math as the
+        # pallas kernel, CPU-friendly) — isolates the KERNEL's per-tick
+        # mechanism error from chaotic amplification
+        from reinforcement_learning_tpu.ops import ctick as ctickmod
+        from reinforcement_learning_tpu.ops import pack
+        k = ctickmod.make_consts(params,
+                                 tuple(int(c.team) for c in sc.cars))
+        ridx = jnp.zeros((sc.n_cars, 1, 1), jnp.int32)
+
+        @jax.jit
+        def tick(phys, controls):
+            batched = jax.tree.map(lambda a: a[None], phys)
+            d = pack.to_components(batched, S=(1, 1))
+            nc = tuple(controls[:, c].reshape(sc.n_cars, 1, 1)
+                       for c in range(8))
+            d = ctickmod.step(k, d, nc, ridx, 1, 0)
+            out = pack.from_components(d, 1)
+            return jax.tree.map(lambda a: a[0], out)
+    else:
+        @jax.jit
+        def tick(phys, controls):
+            cars = phys.arena.cars.replace(controls=controls)
+            phys = phys.replace(arena=phys.arena.replace(cars=cars))
+            return stepmod.arena_tick(phys, teams, jax.random.PRNGKey(0),
+                                      params)
 
     def load_state(t, carry=None):
         """PhysicsState from the oracle trace at tick t (post-tick t).
@@ -123,4 +144,6 @@ if __name__ == "__main__":
             kw["t0"] = int(a.split("=")[1])
         if a.startswith("--to="):
             kw["t1"] = int(a.split("=")[1])
+        if a == "--ctick":
+            kw["backend"] = "ctick"
     run(args[0], int(args[1]) if len(args) > 1 else 240, **kw)
