@@ -126,11 +126,11 @@ class RocketLeagueEnv:
                     num_cars=config.cars_per_arena,
                     game_mode=config.game_mode))
             self.config = config
-        if (config.game_mode not in ("soccar", "heatseeker")
+        if (config.game_mode not in ("soccar", "heatseeker", "snowday")
                 and config.physics_backend == "pallas"):
             raise ValueError("the pallas megakernel backend supports "
-                             "soccar and heatseeker (soccar geometry); "
-                             "use physics_backend='xla' for "
+                             "soccar, heatseeker and snowday (soccar "
+                             "geometry); use physics_backend='xla' for "
                              f"{config.game_mode}")
         if (config.physics_backend == "pallas" and config.arena.use_mesh
                 and not worldmod.is_procedural()):
@@ -307,7 +307,8 @@ class RocketLeagueEnv:
 
     def _use_pallas(self) -> bool:
         b = self.config.physics_backend
-        if self.config.game_mode not in ("soccar", "heatseeker"):
+        if self.config.game_mode not in ("soccar", "heatseeker",
+                                         "snowday"):
             return False
         if self.params.use_mesh and not worldmod.is_procedural():
             return False  # real .cmf assets: XLA grid path only

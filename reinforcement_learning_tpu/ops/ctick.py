@@ -83,7 +83,7 @@ class TickConsts:
     use_mesh: bool = False
     dynamic_rays: bool = False
     facets: object = None   # facet_arena.FacetTables when use_mesh
-    game_mode: str = "soccar"   # soccar | heatseeker (kernel-supported)
+    game_mode: str = "soccar"   # soccar | heatseeker | snowday (kernel)
 
 
 def make_consts(params, teams) -> TickConsts:
@@ -274,39 +274,47 @@ def _contact_vs_static(vel_bt, ang_vel, r_bt, n, inv_mass, inv_iw,
 # Facet-arena contacts (mesh mode; physics/facet_arena.py supplies the
 # closed-form per-facet formulas — one source of truth with the XLA tests)
 
-def _keep_deepest4(cands):
-    """4-slot manifold retention over a static candidate list.
-
-    cands: list of (dist, act, payload-tuple-of-arrays).  Keeps the 4
-    DEEPEST live contacts.  The reference's btPersistentManifold
-    heuristic (keep deepest, then maximize spanned area) differs only
-    when >4 contacts are live at once; the XLA path replicates it
-    exactly (contacts.manifold_insert); this kernel-side variant keeps
-    the 4 smallest distances (documented in PARITY.md).
-
-    Implemented as 4 masked tree reductions over the stacked candidate
-    axis (min + first-argmin one-hot + payload gather-by-sum) — LOG
-    dependency depth instead of the old per-candidate insertion chain,
-    whose ~250-step select chains made XLA:CPU compiles pathological
-    once the seam-duplicate candidates landed."""
+def _keep_diverse4_stacked(d, pays, px, py, pz):
+    """Bullet-flavoured 4-slot retention: deepest first, then greedy
+    max-dispersion over the contact-point coordinates (px, py, pz) —
+    the stacked-reduction stand-in for btPersistentManifold's
+    sortCachedPoints (keep the deepest, then maximize the spanned
+    area).  With <= 4 live candidates every one is kept (multiplicity
+    preserved — the goal-mouth net bounce); with more, the spread
+    criterion dedups near-coincident duplicates the way the area term
+    does (the ramp-ride manifolds).  d: (K,)+S distances with inactive
+    pre-masked to 1e30; pays: list of (K,)+S payloads."""
     big = jnp.float32(1e30)
-    K = len(cands)
-    d = jnp.stack([jnp.where(act, dist, big) for dist, act, _ in cands])
-    P = len(cands[0][2])
-    pays = [jnp.stack([c[2][i] for c in cands]) for i in range(P)]
-    iota = jnp.arange(K, dtype=jnp.int32).reshape(
-        (K,) + (1,) * (d.ndim - 1))
+    K = d.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (K,) + d.shape[1:], 0)
+    avail = d < big
+    mind = jnp.full_like(d, jnp.inf)
     slot_d, slot_occ, slot_pay = [], [], []
-    for _ in range(4):
-        dmin = jnp.min(d, axis=0)
-        hit = d == dmin[None]
-        first = jnp.min(jnp.where(hit, iota, K), axis=0)
-        one = hit & (iota == first[None])
+    for s in range(4):
+        if s == 0:
+            dm = jnp.where(avail, d, big)
+            dmin = jnp.min(dm, axis=0)
+            hit = dm == dmin[None]
+            occ = dmin < big
+        else:
+            score = jnp.where(avail, mind, -jnp.inf)
+            smax = jnp.max(score, axis=0)
+            hit = score == smax[None]
+            occ = jnp.isfinite(smax)
+        first = jnp.min(jnp.where(hit & avail, iota, K), axis=0)
+        one = iota == first[None]
         onef = one.astype(d.dtype)
-        slot_d.append(dmin)
-        slot_occ.append(dmin < big)
-        slot_pay.append(tuple(jnp.sum(pp * onef, axis=0) for pp in pays))
-        d = jnp.where(one, big, d)
+        pick = lambda pp: jnp.sum(pp * onef, axis=0)
+        slot_d.append(jnp.where(occ, pick(d), big))
+        slot_occ.append(occ)
+        slot_pay.append(tuple(jnp.where(occ, pick(pp),
+                                        jnp.zeros_like(pick(pp)))
+                              for pp in pays))
+        nxp, nyp, nzp = pick(px), pick(py), pick(pz)
+        dd = ((px - nxp[None]) ** 2 + (py - nyp[None]) ** 2
+              + (pz - nzp[None]) ** 2)
+        mind = jnp.where(occ[None], jnp.minimum(mind, dd), mind)
+        avail = avail & ~one
     return slot_d, slot_occ, slot_pay
 
 
@@ -322,19 +330,28 @@ def _facet_sphere_manifold(k: TickConsts, pos, radius, break_gap):
     from reinforcement_learning_tpu.physics import facet_arena as fa
     from reinforcement_learning_tpu.physics.mesh import (
         CEILING_FILLET_RADIUS, FLOOR_FILLET_RADIUS)
-    res = fa.sphere_contacts(pos[0], pos[1], pos[2], radius, break_gap,
-                             tab=k.facets)
-    z = jnp.zeros_like(pos[0])
-    cands = [(gap, act, (nx + z, ny + z, nz + z, gap))
-             for (nx, ny, nz, gap, act) in res]
+    big = jnp.float32(1e30)
+    nx_s, ny_s, nz_s, gap_s, act_s = fa.sphere_contacts(
+        pos[0], pos[1], pos[2], radius, break_gap, tab=k.facets)
+    d_parts = [jnp.where(act_s, gap_s, big)]
+    pay_parts = [[nx_s, ny_s, nz_s, gap_s]]
     H = C.ARENA_HEIGHT
+    tail = gap_s.shape[1:]
     for z0, up, inset in ((0.0, 1.0, FLOOR_FILLET_RADIUS),
                           (H, -1.0, CEILING_FILLET_RADIUS)):
         for nx, ny, nz, cx, cy, gap, act in fa.sheet_sphere_contacts(
                 pos[0], pos[1], pos[2], radius, break_gap, z0, up):
             act = act & fa.sheet_clip_ok(k.facets, cx, cy, inset)
-            cands.append((gap, act, (nx + z, ny + z, nz + z, gap)))
-    slot_d, slot_occ, slot_pay = _keep_deepest4(cands)
+            bt = lambda a: jnp.broadcast_to(a, tail)[None]
+            d_parts.append(bt(jnp.where(act, gap, big)))
+            pay_parts.append([bt(nx), bt(ny), bt(nz), bt(gap)])
+    d = jnp.concatenate(d_parts)
+    pays = [jnp.concatenate([pp[i] for pp in pay_parts]) for i in range(4)]
+    # retention disperses over localPointA = -n * radius (bullet's area
+    # heuristic operates on the contact points; for a sphere those are
+    # the normals scaled by the radius)
+    slot_d, slot_occ, slot_pay = _keep_diverse4_stacked(
+        d, pays, pays[0], pays[1], pays[2])
     return [((p[0], p[1], p[2]), p[3], occ)
             for p, occ in zip(slot_pay, slot_occ)]
 
@@ -358,14 +375,16 @@ def _facet_box_manifold(k: TickConsts, st, brk):
     from reinforcement_learning_tpu.physics import facet_arena as fa
     from reinforcement_learning_tpu.physics.mesh import (
         CEILING_FILLET_RADIUS, FLOOR_FILLET_RADIUS)
+    big = jnp.float32(1e30)
     box_center = vadd(st['pos'], cv.matvec(st['rot'],
                                            cv.vconst(k.hitbox_offset,
                                                      st['pos'][0])))
-    res = fa.box_contacts(box_center[0], box_center[1], box_center[2],
-                          st['rot'], k.half_extents, brk, tab=k.facets)
-    z = jnp.zeros_like(st['pos'][0])
-    cands = [(dist, act, (nx + z, ny + z, nz + z, sx, sy, sz, dist))
-             for (nx, ny, nz, sx, sy, sz, dist, act) in res]
+    nx_s, ny_s, nz_s, px_s, py_s, pz_s, dist_s, act_s = fa.box_contacts(
+        box_center[0], box_center[1], box_center[2],
+        st['rot'], k.half_extents, brk, tab=k.facets)
+    d_parts = [jnp.where(act_s, dist_s, big)]
+    pay_parts = [[nx_s, ny_s, nz_s, px_s, py_s, pz_s, dist_s]]
+    tail = dist_s.shape[1:]
     H = C.ARENA_HEIGHT
     he = k.half_extents
     off = k.hitbox_offset
@@ -381,10 +400,15 @@ def _facet_box_manifold(k: TickConsts, st, brk):
             act = act & fa.sheet_clip_ok(k.facets, cx, cy, inset)
             # lever arms use positionWorldOnA (= posB + n*dist, on the
             # car), like resolve_car_world_mesh
-            cands.append((dist, act, (nx + z, ny + z, nz + z,
-                                      cx + z, cy + z,
-                                      cz + nz * dist + z, dist)))
-    slot_d, slot_occ, slot_pay = _keep_deepest4(cands)
+            bt = lambda a: jnp.broadcast_to(a, tail)[None]
+            d_parts.append(bt(jnp.where(act, dist, big)))
+            pay_parts.append([bt(nx), bt(ny), bt(nz), bt(cx), bt(cy),
+                              bt(cz + nz * dist), bt(dist)])
+    d = jnp.concatenate(d_parts)
+    pays = [jnp.concatenate([pp[i] for pp in pay_parts]) for i in range(7)]
+    # retention disperses over positionWorldOnA (bullet's area heuristic)
+    slot_d, slot_occ, slot_pay = _keep_diverse4_stacked(
+        d, pays, pays[3], pays[4], pays[5])
     return [((p[0], p[1], p[2]), (p[3], p[4], p[5]), p[6], occ)
             for p, occ in zip(slot_pay, slot_occ)]
 
@@ -1458,6 +1482,69 @@ def _resolve_ball_world(k: TickConsts, ball_pos, ball_vel, ball_ang_vel,
             navg)
 
 
+def _resolve_ball_world_snowday(k: TickConsts, ball_pos, ball_vel,
+                                ball_ang_vel, ball_rot, ball_vel_pre):
+    """Snowday puck vs arena: the merged special contact over the FULL
+    analytic plane set with the exact cylinder support distance per plane
+    (twin of contacts.resolve_ball_world's puck branch — the reference's
+    20-sided cylinder mesh converges to this support function; the puck
+    does NOT collide the triangle mesh, Ball.cpp:53-82).  Returns
+    (dvel uu, dang, push uu, touching, navg)."""
+    mut = k.mut
+    a = (ball_rot[0][2], ball_rot[1][2], ball_rot[2][2])   # cylinder axis
+    r_p = C.Snowday.PUCK_RADIUS
+    h_half = C.Snowday.PUCK_HEIGHT / 2
+    disc = float(np.hypot(r_p, h_half))
+    break_gap = C.CONTACT_BREAK_FRAC * disc
+    valid = _plane_validity(k, ball_pos)
+    zero = jnp.zeros_like(ball_pos[0])
+
+    num = zero
+    navg = vzero(zero)
+    max_depth = zero
+    supp_sum = zero
+    for p, plane in enumerate(k.planes):
+        pn = cv.vconst(plane[:3], zero)
+        a_dot_n = vdot(a, pn)
+        support = (r_p * jnp.sqrt(jnp.maximum(1.0 - a_dot_n ** 2, 0.0))
+                   + h_half * jnp.abs(a_dot_n))
+        dist = _plane_dist(plane, ball_pos)
+        gap = dist - support
+        act = gap < break_gap if valid[p] is True \
+            else valid[p] & (gap < break_gap)
+        actf = act.astype(zero.dtype)
+        num = num + actf
+        navg = vadd(navg, vscale(pn, actf))
+        supp_sum = supp_sum + support * actf
+        max_depth = jnp.maximum(max_depth, jnp.where(act, -gap, 0.0))
+    touching = num > 0
+    inv_n = 1.0 / jnp.maximum(num, 1.0)
+    navg = vscale(navg, inv_n)
+    r_bt = vscale(navg, -(supp_sum * inv_n) * C.UU_TO_BT)
+
+    ball_inv_mass = 1.0 / mut.ball_mass
+    # solid cylinder about its own axes, rotated to world
+    r_bt_len = r_p * C.UU_TO_BT
+    h_bt = C.Snowday.PUCK_HEIGHT * C.UU_TO_BT
+    i_axis = 0.5 * mut.ball_mass * r_bt_len ** 2
+    i_perp = mut.ball_mass * (3 * r_bt_len ** 2 + h_bt ** 2) / 12.0
+    inv_iw = cv.inv_inertia_world(
+        ball_rot, (1.0 / i_perp, 1.0 / i_perp, 1.0 / i_axis))
+
+    restitution = max(mut.ball_world_restitution, C.WORLD_RESTITUTION)
+    friction = min(mut.ball_world_friction, C.WORLD_FRICTION)
+    dv_bt, dw, _ = _contact_vs_static(
+        vscale(ball_vel, C.UU_TO_BT), ball_ang_vel, r_bt, navg,
+        ball_inv_mass, inv_iw, restitution, friction,
+        vel_pre_bt=vscale(ball_vel_pre, C.UU_TO_BT), iterations=10)
+
+    push = vscale(navg, jnp.maximum(max_depth, 0.0) * C.SOLVER_ERP2)
+    z = vzero(zero)
+    return (vwhere(touching, vscale(dv_bt, C.BT_TO_UU), z),
+            vwhere(touching, dw, z), vwhere(touching, push, z), touching,
+            navg)
+
+
 def _resolve_car_ball(k: TickConsts, st, ball_pos, ball_vel, ball_ang_vel,
                       tick_count, inv_iw, alive, cars_vel_pre, ball_vel_pre):
     """contacts.resolve_car_ball.  Ball quantities are env-shaped and
@@ -2187,7 +2274,14 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
                                 for c in range(Cn)])
 
     # --- ball-world
-    if k.use_mesh:
+    if k.game_mode == "snowday":
+        # the puck collides the analytic planes with its exact cylinder
+        # support (never the triangle mesh), like the XLA path
+        bw_dv, bw_dw, bw_push, bw_touch, bw_navg = \
+            _resolve_ball_world_snowday(
+                k, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'],
+                st['ball_rot'], ball_vel_pre)
+    elif k.use_mesh:
         bw_dv, bw_dw, bw_push, bw_touch, bw_navg = \
             _resolve_ball_world_mesh_k(
                 k, st['ball_pos'], st['ball_vel'], st['ball_ang_vel'],
@@ -2199,10 +2293,17 @@ def tick(k: TickConsts, st: dict, respawn_idx) -> dict:
     st['ball_vel'] = vadd(st['ball_vel'], bw_dv)
     st['ball_ang_vel'] = vadd(st['ball_ang_vel'], bw_dw)
 
-    # Ball::_OnWorldCollision (heatseeker backwall flip, Ball.cpp:218-246)
+    # Ball::_OnWorldCollision (heatseeker backwall flip, Ball.cpp:218-246;
+    # snowday puck ground stick, step.arena_tick)
     if k.game_mode == "heatseeker":
         st, hs_cache = _hs_wall_bounce(k, st, bw_touch, bw_navg)
         ball_cache_dv = vadd(ball_cache_dv, hs_cache)
+    elif k.game_mode == "snowday":
+        stick = (C.Snowday.PUCK_GROUND_STICK_FORCE / mut.ball_mass
+                 * dt * C.BT_TO_UU)
+        st['ball_vel'] = vwhere(
+            bw_touch, vsub(st['ball_vel'], vscale(bw_navg, stick)),
+            st['ball_vel'])
 
     # --- car-car (+bump/demo)
     if Cn > 1:
@@ -2361,24 +2462,23 @@ def _hs_steer(k: TickConsts, st):
 
 def _hs_on_hit(k: TickConsts, st, touched):
     """Ball::_OnHit heatseeker branch (step._heatseeker_on_hit twin):
-    contacts fire per car in index order; last toucher wins."""
+    the reference fires _OnHit once PER touching car in index order,
+    each call reading the previous call's writes — folded sequentially
+    so same-tick opposite-team touches sequence identically."""
     HS = C.Heatseeker
     ytd, tspeed, tsince = st['ball_hs']
-    any_touch = touched[0]
-    new_dir = jnp.where(k.teams[0] == 0, 1.0, -1.0) * jnp.ones_like(ytd)
-    for c in range(1, k.num_cars):
-        any_touch = any_touch | touched[c]
+    for c in range(k.num_cars):
+        t = touched[c]
         d = 1.0 if k.teams[c] == 0 else -1.0
-        new_dir = jnp.where(touched[c], d, new_dir)
-    can_increase = (tsince > HS.MIN_SPEEDUP_INTERVAL) | (ytd == 0)
-    speedup = any_touch & can_increase & (new_dir != ytd)
+        can_increase = (tsince > HS.MIN_SPEEDUP_INTERVAL) | (ytd == 0)
+        sp = t & can_increase & (d != ytd)
+        ytd = jnp.where(t, d, ytd)
+        tspeed = jnp.where(
+            sp, jnp.minimum(tspeed + HS.TARGET_SPEED_INCREMENT,
+                            HS.MAX_SPEED), tspeed)
+        tsince = jnp.where(sp, 0.0, tsince)
     st = dict(st)
-    st['ball_hs'] = (
-        jnp.where(any_touch, new_dir, ytd),
-        jnp.where(speedup,
-                  jnp.minimum(tspeed + HS.TARGET_SPEED_INCREMENT,
-                              HS.MAX_SPEED), tspeed),
-        jnp.where(speedup, 0.0, tsince))
+    st['ball_hs'] = (ytd, tspeed, tsince)
     return st
 
 

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -207,43 +208,6 @@ def tables() -> FacetTables:
 # ---------------------------------------------------------------------------
 # Core per-facet formulas (shape-generic; components in, components out)
 
-def _band_closest(t: FacetTables, b: int, side: int, w_q, t_q, z_q):
-    """Closest point on band ``b`` of folded side ``side`` to the query
-    (w_q, t_q, z_q) in side coordinates.  Returns (w_c, t_c, z_c,
-    convex_clamped, extras) — convex_clamped marks a clamp onto the
-    goal-opening rim; ``extras`` = (clamped_prof, clamped_lat, ell_c,
-    t_lo, t_hi) for the seam-duplicate and raw-normal logic of
-    sphere_contacts (bullet keeps the RAW interpolated edge normal on
-    angled seams — btInternalEdgeUtility's wedge clamp leaves a normal
-    already inside the wedge untouched; only coplanar seams snap)."""
-    w0, z0 = t.w0[b], t.z0[b]
-    tw, tz, L = t.tw[b], t.tz[b], t.length[b]
-    # profile clamp (the band is an extrusion along t, so the profile and
-    # lateral clamps are independent except for the slanted corner edges,
-    # handled by the neighbouring side's facet)
-    ell_raw = (w_q - w0) * tw + (z_q - z0) * tz
-    ell = jnp.clip(ell_raw, 0.0, L)
-    w_c = w0 + tw * ell
-    z_c = z0 + tz * ell
-    # lateral bounds at the profile point
-    t_lo = t.lo0[side] - t.loS[side] * w_c
-    t_hi = t.hi0[side] - t.hiS[side] * w_c
-    t_c = jnp.clip(t_q, t_lo, t_hi)
-    clamped_prof = (ell_raw < 0.0) | (ell_raw > L)
-    clamped_lat = (t_q < t_lo) | (t_q > t_hi)
-    convex = None
-    if side == 2 and t.cut_t0[b] > 0:
-        # goal-opening cut: |t| < cut_t is absent; snap to the rim
-        cut = t.cut_t0[b] - t.cut_ts[b] * w_c
-        in_cut = jnp.abs(t_c) < cut
-        t_rim = jnp.sign(t_q) * cut
-        t_rim = jnp.where(t_rim == 0.0, cut, t_rim)
-        t_c = jnp.where(in_cut, t_rim, t_c)
-        convex = in_cut
-    return w_c, t_c, z_c, convex, (clamped_prof, clamped_lat, ell, t_lo,
-                                   t_hi)
-
-
 def _side_coords(t: FacetTables, side: int, px, py):
     w_q = t.side_nx[side] * px + t.side_ny[side] * py - t.side_d[side]
     t_q = t.side_ux[side] * px + t.side_uy[side] * py
@@ -257,13 +221,61 @@ def _unfold_normal(side_nx, side_ny, ux, uy, n_w, n_t, n_z, sx, sy):
     return nx * sx, ny * sy, n_z
 
 
+def _const_vec(values, sh):
+    """Per-band python-float constants as a (B,)-leading traced
+    expression (iota + selects).  A plain ``jnp.asarray`` literal would
+    be closure-captured by the Pallas kernel trace, which rejects
+    non-scalar captured constants; built this way the values fold into
+    the kernel exactly like the old per-band scalar loops did."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+    out = jnp.full(sh, jnp.float32(float(values[0])))
+    for b in range(1, len(values)):
+        out = jnp.where(iota == b, jnp.float32(float(values[b])), out)
+    return out
+
+
+_BAND_STACKS = {}
+
+
+def _band_stack(t: FacetTables, side: int) -> dict:
+    """Per-band constants of one folded side as (B,) float32 arrays
+    (host-side, cached) — the leading band axis every vectorized query
+    broadcasts over."""
+    key = (id(t), side)
+    got = _BAND_STACKS.get(key)
+    if got is not None:
+        return got
+    B = N_PROFILE_BANDS
+    f = lambda v: np.asarray(v, np.float32)
+
+    def flat(b2, b):
+        return (0 <= b2 < B and abs(t.nw[b2] - t.nw[b]) < 1e-9
+                and abs(t.nz[b2] - t.nz[b]) < 1e-9)
+
+    d = dict(
+        z0=f(t.z0), w0=f(t.w0), tw=f(t.tw), tz=f(t.tz), L=f(t.length),
+        nw=f(t.nw), nz=f(t.nz),
+        lo_flat=f([1.0 if flat(b - 1, b) else 0.0 for b in range(B)]),
+        hi_flat=f([1.0 if flat(b + 1, b) else 0.0 for b in range(B)]),
+        cut_t0=f(t.cut_t0), cut_ts=f(t.cut_ts),
+        has_cut=f([1.0 if (side == 2 and t.cut_t0[b] > 0) else 0.0
+                   for b in range(B)]),
+    )
+    _BAND_STACKS[key] = d
+    return d
+
+
 def sphere_contacts(px, py, pz, radius, break_gap, tab: FacetTables = None):
-    """Sphere vs every wall/goal facet.  Inputs are component arrays of any
-    (broadcast-compatible) shape.  Returns per-facet lists (len N_FACETS)
-    of (nx, ny, nz, gap, active) — contact normal toward the sphere,
-    surface gap (dist - radius), and the live-contact flag
-    (gap < break_gap), mirroring the mesh sphere narrowphase
-    (SphereTriangleDetector + the internal-edge callback)."""
+    """Sphere vs every wall/goal facet, vectorized over the band axis.
+    Inputs are component arrays of any shape S.  Returns STACKED arrays
+    (nx, ny, nz, gap, active), each of shape (F,) + S — contact normal
+    toward the sphere, surface gap (dist - radius), live flag
+    (gap < break_gap) — mirroring the mesh sphere narrowphase
+    (SphereTriangleDetector + the internal-edge callback), including the
+    tessellation-seam DUPLICATE contacts of the real per-triangle
+    manifold: per band facet the rows are [face/clamp, lateral u-break
+    duplicate, fan-partner-triangle clamp, its lateral mirror]
+    (PARITY.md "ramp rides")."""
     t = tab or tables()
     sx = jnp.sign(px)
     sx = jnp.where(sx == 0, 1.0, sx)
@@ -272,147 +284,158 @@ def sphere_contacts(px, py, pz, radius, break_gap, tab: FacetTables = None):
     ax, ay = px * sx, py * sy
 
     n_len = 8          # lateral quads per strip (mesh.build_soccar_mesh)
-    out = []
+    q_ndim = jnp.ndim(px)
+    sh = (N_PROFILE_BANDS,) + (1,) * q_ndim
+
+    NX, NY, NZ, GAP, ACT = [], [], [], [], []
+
+    def emit(nx, ny, nz, gap):
+        full = jnp.broadcast_to
+        shape = gap.shape
+        NX.append(full(nx, shape))
+        NY.append(full(ny, shape))
+        NZ.append(full(nz, shape))
+        GAP.append(gap)
+        ACT.append(gap < break_gap)
+
     for side in range(N_SIDES):
+        bs = _band_stack(t, side)
+        bc = lambda name: _const_vec(bs[name], sh)
+        z0 = bc('z0')
+        w0 = bc('w0')
+        tw = bc('tw')
+        tz = bc('tz')
+        L = bc('L')
+        nw = bc('nw')
+        nzb = bc('nz')
         w_q, t_q = _side_coords(t, side, ax, ay)
         snx, sny = t.side_nx[side], t.side_ny[side]
         sux, suy = t.side_ux[side], t.side_uy[side]
-        for b in range(N_PROFILE_BANDS):
-            w_c, t_c, z_c, convex, ex = _band_closest(t, b, side, w_q, t_q,
-                                                      pz)
-            clamped_prof, clamped_lat, ell, t_lo, t_hi = ex
-            dw = w_q - w_c
-            dt_ = t_q - t_c
-            dz = pz - z_c
-            dist = jnp.sqrt(dw * dw + dt_ * dt_ + dz * dz)
-            # signed side of the facet plane (two-sided triangles)
-            s_d = (w_q - t.w0[b]) * t.nw[b] + (pz - t.z0[b]) * t.nz[b]
-            sgn = jnp.where(s_d >= 0, 1.0, -1.0)
-            fn_w, fn_z = t.nw[b] * sgn, t.nz[b] * sgn
-            # a clamp at a COPLANAR profile seam snaps to the face normal
-            # (internal-edge flat case); angled seams keep the raw
-            # interpolated edge normal (bullet's wedge clamp is a no-op
-            # for a normal already between the two face normals)
-            def _flat(b2):
-                return (0 <= b2 < N_PROFILE_BANDS
-                        and abs(t.nw[b2] - t.nw[b]) < 1e-9
-                        and abs(t.nz[b2] - t.nz[b]) < 1e-9)
-            lo_flat, hi_flat = _flat(b - 1), _flat(b + 1)
-            ell_lo = ell <= 0.0
-            raw_prof = clamped_prof & ~((ell_lo & lo_flat)
-                                        | (~ell_lo & hi_flat))
-            use_raw = raw_prof | clamped_lat
-            if convex is not None:
-                use_raw = use_raw | convex
-            use_raw = use_raw & (dist > 1e-6)
-            inv = 1.0 / jnp.maximum(dist, 1e-6)
-            n_w = jnp.where(use_raw, dw * inv, fn_w)
-            n_t = jnp.where(use_raw, dt_ * inv, jnp.zeros_like(dist))
-            n_z = jnp.where(use_raw, dz * inv, fn_z)
-            nx, ny, nz = _unfold_normal(snx, sny, sux, suy,
-                                        n_w, n_t, n_z, sx, sy)
-            gap = dist - radius
-            out.append((nx, ny, nz, gap, gap < break_gap))
 
-            # --- coplanar tessellation-seam duplicates (the real mesh
-            # splits each strip into n_len quads, each fan-split by a
-            # diagonal; a sphere near a seam gets one contact PER
-            # triangle, all snapping to the same face normal — the
-            # duplicate rows weight the merged-contact average exactly
-            # like the reference's manifold, PARITY.md "ramp rides")
-            face_ok = ~(clamped_prof | clamped_lat)
-            if convex is not None:
-                face_ok = face_ok & ~convex
-            fnx, fny, fnz = _unfold_normal(snx, sny, sux, suy,
-                                           fn_w, jnp.zeros_like(dist),
-                                           fn_z, sx, sy)
-            span = t_hi - t_lo
-            u_frac = (t_c - t_lo) / span
-            perp2 = s_d * s_d
-            # nearest lateral u-break (incl. the goal-post breaks the
-            # back wall inserts at |t| = GOAL_HALF_WIDTH)
-            t_s = t_lo + span * (jnp.round(u_frac * n_len) / n_len)
-            d_lat = jnp.abs(t_c - t_s)
-            if side == 2:
-                d_post = jnp.abs(jnp.abs(t_c) - C.GOAL_HALF_WIDTH)
-                d_lat = jnp.minimum(d_lat, d_post)
-            big = jnp.full_like(dist, 1e9)
-            gap_lat = jnp.where(
-                face_ok, jnp.sqrt(perp2 + d_lat * d_lat) - radius, big)
-            out.append((fnx, fny, fnz, gap_lat, gap_lat < break_gap))
-            # --- the containing quad's fan-partner triangle: its closest
-            # point lands on one of ITS boundary edges — the diagonal or
-            # lateral edges are coplanar (face normal), but a clamp onto
-            # the PROFILE edge is the band-to-band seam, where bullet
-            # keeps the raw interpolated edge normal (the (-0.375…)
-            # contacts of the PARITY.md ramp ride).  Quad = p00 p10 p11 +
-            # p00 p11 p01 in (t, ell) band coordinates.
-            L = t.length[b]
-            j0 = jnp.clip(jnp.floor(u_frac * n_len), 0, n_len - 1)
-            t_a = t_lo + span * (j0 / n_len)
-            dgt = span / n_len
-            t_b = t_a + dgt
-            below = ell * dgt <= (t_c - t_a) * L
+        # closest point on each band (clamped profile + lateral bounds)
+        ell_raw = (w_q - w0) * tw + (pz - z0) * tz          # (B,)+S
+        ell = jnp.clip(ell_raw, 0.0, L)
+        w_c = w0 + tw * ell
+        z_c = z0 + tz * ell
+        t_lo = t.lo0[side] - t.loS[side] * w_c
+        t_hi = t.hi0[side] - t.hiS[side] * w_c
+        t_c = jnp.clip(t_q, t_lo, t_hi)
+        clamped_prof = (ell_raw < 0.0) | (ell_raw > L)
+        clamped_lat = (t_q < t_lo) | (t_q > t_hi)
+        # goal-opening cut (back side): snap to the rim, convex boundary
+        has_cut = bc('has_cut') > 0
+        cut = bc('cut_t0') - bc('cut_ts') * w_c
+        in_cut = has_cut & (jnp.abs(t_c) < cut)
+        t_rim = jnp.sign(t_q) * cut
+        t_rim = jnp.where(t_rim == 0.0, cut, t_rim)
+        t_c = jnp.where(in_cut, t_rim, t_c)
 
-            def _seg2(axp, ayp, bxp, byp):
-                dx_, dy_ = bxp - axp, byp - ayp
-                ss = jnp.clip(((t_c - axp) * dx_ + (ell - ayp) * dy_)
-                              / jnp.maximum(dx_ * dx_ + dy_ * dy_, 1e-12),
-                              0.0, 1.0)
-                wx_, wy_ = axp + dx_ * ss, ayp + dy_ * ss
-                return ((t_c - wx_) ** 2 + (ell - wy_) ** 2, wx_, wy_)
+        dw = w_q - w_c
+        dt_ = t_q - t_c
+        dz = pz - z_c
+        dist = jnp.sqrt(dw * dw + dt_ * dt_ + dz * dz)
+        s_d = (w_q - w0) * nw + (pz - z0) * nzb
+        sgn = jnp.where(s_d >= 0, 1.0, -1.0)
+        fn_w, fn_z = nw * sgn, nzb * sgn
+        # a clamp at a COPLANAR profile seam snaps to the face normal
+        # (internal-edge flat case); angled seams keep the raw
+        # interpolated edge normal (bullet's wedge clamp is a no-op for
+        # a normal already inside the wedge)
+        lo_flat = bc('lo_flat') > 0
+        hi_flat = bc('hi_flat') > 0
+        ell_lo = ell <= 0.0
+        raw_prof = clamped_prof & ~((ell_lo & lo_flat)
+                                    | (~ell_lo & hi_flat))
+        use_raw = (raw_prof | clamped_lat | in_cut) & (dist > 1e-6)
+        inv = 1.0 / jnp.maximum(dist, 1e-6)
+        zeros = jnp.zeros_like(dist)
+        n_w = jnp.where(use_raw, dw * inv, fn_w)
+        n_t = jnp.where(use_raw, dt_ * inv, zeros)
+        n_z = jnp.where(use_raw, dz * inv, fn_z)
+        nx, ny, nz = _unfold_normal(snx, sny, sux, suy, n_w, n_t, n_z,
+                                    sx, sy)
+        emit(nx, ny, nz, dist - radius)
 
-            zero_ = jnp.zeros_like(dist)
-            d2_dg, wt_dg, wl_dg = _seg2(t_a + zero_, zero_, t_b + zero_,
-                                        L + zero_)
-            prof_l = jnp.where(below, L, 0.0)
-            d2_pr, wt_pr, wl_pr = _seg2(t_a + zero_, prof_l, t_b + zero_,
-                                        prof_l)
-            lat_t = jnp.where(below, t_a, t_b)
-            d2_la, wt_la, wl_la = _seg2(lat_t, zero_, lat_t, L + zero_)
-            prof_best = (d2_pr <= d2_dg) & (d2_pr <= d2_la)
-            d2_p = jnp.minimum(d2_dg, jnp.minimum(d2_pr, d2_la))
-            t_w = jnp.where(prof_best, wt_pr,
-                            jnp.where(d2_dg <= d2_la, wt_dg, wt_la))
-            ell_w = jnp.where(prof_best, wl_pr,
-                              jnp.where(d2_dg <= d2_la, wl_dg, wl_la))
-            dist_p = jnp.sqrt(perp2 + d2_p)
-            # raw interpolated normal from the witness (side coords)
-            w_w = t.w0[b] + t.tw[b] * ell_w
-            z_w = t.z0[b] + t.tz[b] * ell_w
-            pdw = w_q - w_w
-            pdt = t_q - t_w
-            pdz = pz - z_w
-            pinv = 1.0 / jnp.maximum(dist_p, 1e-6)
-            # seam flatness: ell_w == L -> seam with band b+1, else b-1
-            # (static per-band bools -> fold at trace time)
-            if hi_flat and lo_flat:
-                not_flat = jnp.zeros_like(below)
-            elif not hi_flat and not lo_flat:
-                not_flat = jnp.ones_like(below)
-            elif hi_flat:
-                not_flat = ~below
-            else:
-                not_flat = below
-            p_raw = prof_best & not_flat & (dist_p > 1e-6)
-            pn_w = jnp.where(p_raw, pdw * pinv, fn_w)
-            pn_t = jnp.where(p_raw, pdt * pinv, jnp.zeros_like(dist))
-            pn_z = jnp.where(p_raw, pdz * pinv, fn_z)
-            pnx, pny, pnz = _unfold_normal(snx, sny, sux, suy,
-                                           pn_w, pn_t, pn_z, sx, sy)
-            gap_p = jnp.where(face_ok, dist_p - radius, big)
-            act_p = gap_p < break_gap
-            out.append((pnx, pny, pnz, gap_p, act_p))
-            # the mirrored quad across the nearest lateral seam carries
-            # an almost-identical partner contact (the oracle's +-y
-            # seam-contact pairs); active when the lateral seam itself
-            # is in range
-            out.append((pnx, pny, pnz,
-                        jnp.where(gap_lat < break_gap, gap_p, big),
-                        act_p & (gap_lat < break_gap)))
+        # lateral u-break duplicate (same face normal — coplanar seam)
+        face_ok = ~(clamped_prof | clamped_lat | in_cut)
+        fnx, fny, fnz = _unfold_normal(snx, sny, sux, suy, fn_w, zeros,
+                                       fn_z, sx, sy)
+        span = t_hi - t_lo
+        u_frac = (t_c - t_lo) / span
+        perp2 = s_d * s_d
+        t_s = t_lo + span * (jnp.round(u_frac * n_len) / n_len)
+        d_lat = jnp.abs(t_c - t_s)
+        if side == 2:
+            # the back wall inserts extra u-breaks at the goal posts
+            d_post = jnp.abs(jnp.abs(t_c) - C.GOAL_HALF_WIDTH)
+            d_lat = jnp.minimum(d_lat, d_post)
+        big = jnp.full_like(dist, 1e9)
+        gap_lat = jnp.where(face_ok,
+                            jnp.sqrt(perp2 + d_lat * d_lat) - radius, big)
+        emit(fnx, fny, fnz, gap_lat)
 
-    out.extend(_goal_sphere(ax, ay, pz, sx, sy, radius, break_gap))
-    return out
+        # fan-partner triangle of the containing quad: clamp onto its
+        # boundary; a profile-edge witness keeps the raw interpolated
+        # band-seam normal
+        j0 = jnp.clip(jnp.floor(u_frac * n_len), 0, n_len - 1)
+        t_a = t_lo + span * (j0 / n_len)
+        dgt = span / n_len
+        t_b = t_a + dgt
+        below = ell * dgt <= (t_c - t_a) * L
+
+        def _seg2(axp, ayp, bxp, byp):
+            dx_, dy_ = bxp - axp, byp - ayp
+            ss = jnp.clip(((t_c - axp) * dx_ + (ell - ayp) * dy_)
+                          / jnp.maximum(dx_ * dx_ + dy_ * dy_, 1e-12),
+                          0.0, 1.0)
+            wx_, wy_ = axp + dx_ * ss, ayp + dy_ * ss
+            return ((t_c - wx_) ** 2 + (ell - wy_) ** 2, wx_, wy_)
+
+        d2_dg, wt_dg, wl_dg = _seg2(t_a, zeros, t_b, L + zeros)
+        prof_l = jnp.where(below, L, 0.0)
+        d2_pr, wt_pr, wl_pr = _seg2(t_a, prof_l, t_b, prof_l)
+        lat_t = jnp.where(below, t_a, t_b)
+        d2_la, wt_la, wl_la = _seg2(lat_t, zeros, lat_t, L + zeros)
+        prof_best = (d2_pr <= d2_dg) & (d2_pr <= d2_la)
+        d2_p = jnp.minimum(d2_dg, jnp.minimum(d2_pr, d2_la))
+        t_w = jnp.where(prof_best, wt_pr,
+                        jnp.where(d2_dg <= d2_la, wt_dg, wt_la))
+        ell_w = jnp.where(prof_best, wl_pr,
+                          jnp.where(d2_dg <= d2_la, wl_dg, wl_la))
+        dist_p = jnp.sqrt(perp2 + d2_p)
+        w_w = w0 + tw * ell_w
+        z_w = z0 + tz * ell_w
+        pdw = w_q - w_w
+        pdt = t_q - t_w
+        pdz = pz - z_w
+        pinv = 1.0 / jnp.maximum(dist_p, 1e-6)
+        # seam flatness: witness at ell=L -> seam with band b+1, else b-1
+        not_flat = (below & ~hi_flat) | (~below & ~lo_flat)
+        p_raw = prof_best & not_flat & (dist_p > 1e-6)
+        pn_w = jnp.where(p_raw, pdw * pinv, fn_w)
+        pn_t = jnp.where(p_raw, pdt * pinv, zeros)
+        pn_z = jnp.where(p_raw, pdz * pinv, fn_z)
+        pnx, pny, pnz = _unfold_normal(snx, sny, sux, suy, pn_w, pn_t,
+                                       pn_z, sx, sy)
+        gap_p = jnp.where(face_ok, dist_p - radius, big)
+        emit(pnx, pny, pnz, gap_p)
+        # the mirrored quad across the nearest lateral seam carries an
+        # almost-identical partner contact (the oracle's +-y pairs)
+        emit(pnx, pny, pnz,
+             jnp.where(gap_lat < break_gap, gap_p, big))
+
+    # goal-box rectangles (loop form — 4 rects x 2 rows)
+    tail = GAP[0].shape[1:]
+    for nx, ny, nz, gap, act in _goal_sphere(ax, ay, pz, sx, sy, radius,
+                                             break_gap):
+        NX.append(jnp.broadcast_to(nx, tail)[None])
+        NY.append(jnp.broadcast_to(ny, tail)[None])
+        NZ.append(jnp.broadcast_to(nz, tail)[None])
+        GAP.append(jnp.broadcast_to(gap, tail)[None])
+        ACT.append(jnp.broadcast_to(act, tail)[None])
+
+    return (jnp.concatenate(NX), jnp.concatenate(NY), jnp.concatenate(NZ),
+            jnp.concatenate(GAP), jnp.concatenate(ACT))
 
 
 def _rect_closest(u_q, v_q, u_lo, u_hi, v_lo, v_hi):
@@ -477,8 +500,12 @@ def _goal_sphere(ax, ay, pz, sx, sy, radius, break_gap):
         # patch): one extra coplanar contact per neighbouring triangle,
         # face normal (flat internal edges snap) — e.g. the net bounce
         # at x=0 rides a u-break and the reference manifold carries the
-        # contact twice (PARITY.md "goal mouth")
-        interior = (u_q > ulo) & (u_q < uhi) & (v_q > vlo) & (v_q < vhi)
+        # contact twice (PARITY.md "goal mouth").  A folded-|x| axis
+        # starts at 0, which is the MIRROR seam (and itself a u-break),
+        # not a rect boundary — don't let it fail the interior gate.
+        in_u = (u_q < uhi) if ua == 0 else ((u_q > ulo) & (u_q < uhi))
+        in_v = (v_q < vhi) if va == 0 else ((v_q > vlo) & (v_q < vhi))
+        interior = in_u & in_v
         fcomp = {axis: sgn, ua: jnp.zeros_like(dist),
                  va: jnp.zeros_like(dist)}
         fnx, fny, fnz = fcomp[0] * sx, fcomp[1] * sy, fcomp[2]
@@ -497,21 +524,22 @@ def _goal_sphere(ax, ay, pz, sx, sy, radius, break_gap):
 
 
 def box_contacts(px, py, pz, rot, he, brk, tab: FacetTables = None,
-                 bounds_eps: float = 1.0):
+                 bounds_eps: float = 1.0, off=None):
     """Oriented box (center components px/py/pz, rotation ``rot`` as a
     nested 3x3 tuple of row components, half extents ``he`` 3-tuple of
-    floats) vs every facet: one face-based contact per facet — the deepest
-    box support point against the facet plane, active when within the
-    breaking threshold and (projected) inside the facet bounds.  Returns
-    per-facet list of (nx, ny, nz, sup_x, sup_y, sup_z, dist, active) with
-    ``sup`` the support point (= positionWorldOnA for the solver rows) and
-    ``dist`` the contact distance (negative = penetrating).
+    floats) vs every facet, vectorized over the band axis.  Returns
+    STACKED arrays (nx, ny, nz, pa_x, pa_y, pa_z, dist, active), each
+    (F,) + S, with ``pa`` positionWorldOnA (the solver lever-arm point on
+    the box) and ``dist`` the box_tri margin-law contact distance (core
+    support height minus the safe margin; negative = penetrating).
 
-    This is the megakernel's narrowphase: face contacts are exact for
-    box-face/vertex vs triangle-face configurations (all driving
-    surfaces); box-edge vs facet-edge contacts take the face normal
-    instead of the GJK edge normal (the XLA path's box_tri is the exact
-    oracle)."""
+    This is the megakernel's narrowphase.  Per band the rows are: [face
+    contact (deepest core support corner), lateral u-break duplicate
+    (the second witness the per-triangle mesh produces when the box
+    spans two lateral quads), top band-seam, bottom band-seam] — the
+    seam rows carry the RAW interpolated edge normals bullet keeps
+    un-adjusted on angled internal edges (the impulse-bearing contacts
+    of the oracle's wall-ride manifolds, PARITY.md)."""
     t = tab or tables()
     sx = jnp.sign(px)
     sx = jnp.where(sx == 0, 1.0, sx)
@@ -519,37 +547,194 @@ def box_contacts(px, py, pz, rot, he, brk, tab: FacetTables = None,
     sy = jnp.where(sy == 0, 1.0, sy)
     ax, ay = px * sx, py * sy
 
-    out = []
+    n_len = 8
+    q_ndim = jnp.ndim(px)
+    sh = (N_PROFILE_BANDS,) + (1,) * q_ndim
+    core_m = C.MESH_COLLISION_MARGIN
+    dist_m = min(C.MESH_COLLISION_MARGIN,
+                 0.1 * float(np.min(np.asarray(he))))
+    hc = tuple(float(he[i]) - core_m for i in range(3))
+    if off is None:
+        off = (0.0, 0.0, 0.0)
+
+    # core corner world positions (8), bullet corner order
+    corners = []
+    for sgn_c in _SHEET_CORNER_SIGNS:
+        lx = tuple(off[i] + sgn_c[i] * hc[i] for i in range(3))
+        wx = px + rot[0][0] * lx[0] + rot[0][1] * lx[1] + rot[0][2] * lx[2]
+        wy = py + rot[1][0] * lx[0] + rot[1][1] * lx[1] + rot[1][2] * lx[2]
+        wz = pz + rot[2][0] * lx[0] + rot[2][1] * lx[1] + rot[2][2] * lx[2]
+        corners.append((wx, wy, wz))
+
+    NX, NY, NZ, PX, PY, PZ, DIST, ACT = ([] for _ in range(8))
+
+    def emit(nx, ny, nz, pxx, pyy, pzz, dist, act):
+        shape = dist.shape
+        bt = lambda a: jnp.broadcast_to(a, shape)
+        NX.append(bt(nx))
+        NY.append(bt(ny))
+        NZ.append(bt(nz))
+        PX.append(bt(pxx))
+        PY.append(bt(pyy))
+        PZ.append(bt(pzz))
+        DIST.append(dist)
+        ACT.append(bt(act))
+
     for side in range(N_SIDES):
-        w_q, t_q = _side_coords(t, side, ax, ay)
+        bs = _band_stack(t, side)
+        bc = lambda name: _const_vec(bs[name], sh)
+        z0 = bc('z0')
+        w0 = bc('w0')
+        tw = bc('tw')
+        tz = bc('tz')
+        L = bc('L')
+        nw = bc('nw')
+        nzb = bc('nz')
+        hi_flat = bc('hi_flat') > 0
+        lo_flat = bc('lo_flat') > 0
         snx, sny = t.side_nx[side], t.side_ny[side]
         sux, suy = t.side_ux[side], t.side_uy[side]
-        for b in range(N_PROFILE_BANDS):
-            s_d = (w_q - t.w0[b]) * t.nw[b] + (pz - t.z0[b]) * t.nz[b]
-            sgn = jnp.where(s_d >= 0, 1.0, -1.0)
-            # world-frame face normal toward the box
-            nx, ny, nz = _unfold_normal(snx, sny, sux, suy,
-                                        t.nw[b] * sgn, 0.0, t.nz[b] * sgn,
-                                        sx, sy)
-            sup_x, sup_y, sup_z, r_eff = _box_support(px, py, pz, rot, he,
-                                                      nx, ny, nz)
-            dist = jnp.abs(s_d) - r_eff
-            # bounds: support point projected into the facet
-            sw, st_ = _side_coords(t, side, sup_x * sx, sup_y * sy)
-            ell = (sw - t.w0[b]) * t.tw[b] + (sup_z - t.z0[b]) * t.tz[b]
-            in_prof = (ell >= -bounds_eps) & (ell <= t.length[b] + bounds_eps)
-            w_c = t.w0[b] + t.tw[b] * jnp.clip(ell, 0.0, t.length[b])
-            t_lo = t.lo0[side] - t.loS[side] * w_c
-            t_hi = t.hi0[side] - t.hiS[side] * w_c
-            in_lat = ((st_ >= t_lo - bounds_eps)
-                      & (st_ <= t_hi + bounds_eps))
-            act = (dist < brk) & in_prof & in_lat
-            if side == 2 and t.cut_t0[b] > 0:
-                cut = t.cut_t0[b] - t.cut_ts[b] * w_c
-                act &= jnp.abs(st_) >= cut - bounds_eps
-            out.append((nx, ny, nz, sup_x, sup_y, sup_z, dist, act))
+        sd_ = t.side_d[side]
+        w_q, t_q = _side_coords(t, side, ax, ay)
+        s_d = (w_q - w0) * nw + (pz - z0) * nzb
+        sgn = jnp.where(s_d >= 0, 1.0, -1.0)
+        fnw, fnz = nw * sgn, nzb * sgn
+        nx, ny, nz = _unfold_normal(snx, sny, sux, suy, fnw, 0.0, fnz,
+                                    sx, sy)
+
+        def to_world(w_s, t_s2, z_s):
+            """Side coords (w, t, z) -> world components."""
+            axw = snx * (w_s + sd_) + sux * t_s2
+            ayw = sny * (w_s + sd_) + suy * t_s2
+            return axw * sx, ayw * sy, z_s
+
+        # per-corner band coords; running argmin carries
+        h_sup = None
+        for i, (cwx, cwy, cwz) in enumerate(corners):
+            caw, ct_ = _side_coords(t, side, cwx * sx, cwy * sy)
+            h_i = sgn * ((caw - w0) * nw + (cwz - z0) * nzb)
+            ell_i = (caw - w0) * tw + (cwz - z0) * tz
+            d_top_i = jnp.sqrt((ell_i - L) ** 2 + h_i * h_i)
+            d_bot_i = jnp.sqrt(ell_i * ell_i + h_i * h_i)
+            if h_sup is None:
+                h_sup, t_sup, ell_sup = h_i, ct_ + 0 * h_i, ell_i
+                cx_s, cy_s, cz_s = (cwx + 0 * h_i, cwy + 0 * h_i,
+                                    cwz + 0 * h_i)
+                hs_list = [(h_i, ct_, ell_i, cwx, cwy, cwz)]
+                d_top, t_top = d_top_i, ct_ + 0 * h_i
+                htop = h_i
+                elltop = ell_i
+                d_bot, t_bot = d_bot_i, ct_ + 0 * h_i
+                hbot = h_i
+                ellbot = ell_i
+            else:
+                better = h_i < h_sup
+                t_sup = jnp.where(better, ct_, t_sup)
+                ell_sup = jnp.where(better, ell_i, ell_sup)
+                cx_s = jnp.where(better, cwx, cx_s)
+                cy_s = jnp.where(better, cwy, cy_s)
+                cz_s = jnp.where(better, cwz, cz_s)
+                h_sup = jnp.minimum(h_i, h_sup)
+                bt_ = d_top_i < d_top
+                t_top = jnp.where(bt_, ct_, t_top)
+                htop = jnp.where(bt_, h_i, htop)
+                elltop = jnp.where(bt_, ell_i, elltop)
+                d_top = jnp.minimum(d_top_i, d_top)
+                bb_ = d_bot_i < d_bot
+                t_bot = jnp.where(bb_, ct_, t_bot)
+                hbot = jnp.where(bb_, h_i, hbot)
+                ellbot = jnp.where(bb_, ell_i, ellbot)
+                d_bot = jnp.minimum(d_bot_i, d_bot)
+                hs_list.append((h_i, ct_, ell_i, cwx, cwy, cwz))
+
+        # --- face row (box_tri margin law: core support height - safe
+        # margin; witness = the support corner projected onto the band)
+        dist_f = h_sup - dist_m
+        ell_cl = jnp.clip(ell_sup, 0.0, L)
+        w_c = w0 + tw * ell_cl
+        t_lo = t.lo0[side] - t.loS[side] * w_c
+        t_hi = t.hi0[side] - t.hiS[side] * w_c
+        in_prof = (ell_sup >= -bounds_eps) & (ell_sup <= L + bounds_eps)
+        in_lat = (t_sup >= t_lo - bounds_eps) & (t_sup <= t_hi + bounds_eps)
+        act_f = (dist_f < brk) & in_prof & in_lat
+        has_cut = bc('has_cut') > 0
+        cut = bc('cut_t0') - bc('cut_ts') * w_c
+        act_f &= ~(has_cut & (jnp.abs(t_sup) < cut - bounds_eps))
+        # posA = support corner pulled in by the safe margin
+        emit(nx, ny, nz, cx_s - nx * dist_m, cy_s - ny * dist_m,
+             cz_s - nz * dist_m, dist_f, act_f)
+
+        # --- lateral u-break duplicate (the second witness the mesh
+        # produces when the box spans two lateral quads — restores the
+        # symmetric contact pairs of a wall ride)
+        span = t_hi - t_lo
+        u_frac = jnp.clip((t_sup - t_lo) / span, 0.0, 1.0)
+        t_s = t_lo + span * (jnp.round(u_frac * n_len) / n_len)
+        if side == 2:
+            d_post = jnp.abs(jnp.abs(t_sup) - C.GOAL_HALF_WIDTH)
+            t_post = jnp.sign(t_sup) * C.GOAL_HALF_WIDTH
+            use_post = d_post < jnp.abs(t_sup - t_s)
+            t_s = jnp.where(use_post, t_post, t_s)
+        side_of = t_sup >= t_s
+        dmin_R = jnp.full_like(h_sup, 1e9)
+        t_R = t_sup
+        ell_R = ell_sup
+        d_seam = jnp.full_like(h_sup, 1e9)
+        ell_sm = ell_sup
+        for h_i, ct_, ell_i, cwx, cwy, cwz in hs_list:
+            in_R = (ct_ >= t_s) != side_of
+            hh = jnp.where(in_R, h_i, 1e9)
+            better = hh < dmin_R
+            t_R = jnp.where(better, ct_, t_R)
+            ell_R = jnp.where(better, ell_i, ell_R)
+            dmin_R = jnp.minimum(hh, dmin_R)
+            ds_i = jnp.sqrt((ct_ - t_s) ** 2 + h_i * h_i)
+            bsm = ds_i < d_seam
+            ell_sm = jnp.where(bsm, ell_i, ell_sm)
+            d_seam = jnp.minimum(ds_i, d_seam)
+        overlap_R = dmin_R < 0.0
+        use_corner = dmin_R < d_seam
+        d_sep = jnp.minimum(dmin_R, d_seam)
+        dist_l = jnp.where(overlap_R, h_sup, d_sep) - dist_m
+        t_wit = jnp.where(overlap_R, t_s,
+                          jnp.where(use_corner, t_R, t_s))
+        ell_wit = jnp.clip(
+            jnp.where(overlap_R, ell_sup,
+                      jnp.where(use_corner, ell_R, ell_sm)), 0.0, L)
+        wwx, wwy, wwz = to_world(w0 + tw * ell_wit, t_wit,
+                                 z0 + tz * ell_wit)
+        act_l = (dist_l < brk) & in_prof & act_f
+        emit(nx, ny, nz, wwx + nx * dist_l, wwy + ny * dist_l,
+             wwz + nz * dist_l, dist_l, act_l)
+
+        # --- profile band-seam rows (raw interpolated normals — the
+        # box-edge-vs-seam contacts bullet keeps un-adjusted on angled
+        # internal edges; one row per seam from each adjacent band)
+        for d_sm, t_sm, h_sm, dl_raw, ell_pos, flat_mask in (
+                (d_top, t_top, htop, elltop - L, L, hi_flat),
+                (d_bot, t_bot, hbot, ellbot, jnp.zeros_like(L), lo_flat)):
+            dist_s = d_sm - dist_m
+            t_wit2 = jnp.clip(t_sm, t_lo, t_hi)
+            wx2, wy2, wz2 = to_world(w0 + tw * ell_pos, t_wit2,
+                                     z0 + tz * ell_pos)
+            # raw normal: from the seam witness toward the box feature
+            # (in the band's (ell, h) plane; zero lateral component)
+            inv = 1.0 / jnp.maximum(d_sm, 1e-6)
+            dl = dl_raw * inv
+            dh = h_sm * inv
+            rn_w = (tw * dl + fnw * dh)
+            rn_z = (tz * dl + fnz * dh)
+            rnx, rny, rnz = _unfold_normal(snx, sny, sux, suy, rn_w,
+                                           jnp.zeros_like(dl), rn_z,
+                                           sx, sy)
+            act_s = ((dist_s < brk) & ~flat_mask & (h_sm > 0.0)
+                     & (t_sm >= t_lo - bounds_eps)
+                     & (t_sm <= t_hi + bounds_eps))
+            emit(rnx, rny, rnz, wx2 + rnx * dist_s, wy2 + rny * dist_s,
+                 wz2 + rnz * dist_s, jnp.where(act_s, dist_s, 1e9), act_s)
 
     coords = (ax, ay, pz)
+    tail = DIST[0].shape[1:]
     for axis, value, nsign, (ua, ulo, uhi), (va, vlo, vhi), mouth in \
             _goal_rects():
         w_q = coords[axis] - value
@@ -566,8 +751,18 @@ def box_contacts(px, py, pz, rot, he, brk, tab: FacetTables = None,
         in_u = (sup[ua] >= ulo - bounds_eps) & (sup[ua] <= uhi + bounds_eps)
         in_v = (sup[va] >= vlo - bounds_eps) & (sup[va] <= vhi + bounds_eps)
         act = (dist < brk) & in_u & in_v
-        out.append((nx, ny, nz, sup_x, sup_y, sup_z, dist, act))
-    return out
+        bt = lambda a: jnp.broadcast_to(a, tail)[None]
+        NX.append(bt(nx))
+        NY.append(bt(ny))
+        NZ.append(bt(nz))
+        PX.append(bt(sup_x))
+        PY.append(bt(sup_y))
+        PZ.append(bt(sup_z))
+        DIST.append(bt(dist))
+        ACT.append(bt(act))
+    return (jnp.concatenate(NX), jnp.concatenate(NY), jnp.concatenate(NZ),
+            jnp.concatenate(PX), jnp.concatenate(PY), jnp.concatenate(PZ),
+            jnp.concatenate(DIST), jnp.concatenate(ACT))
 
 
 def _seg_line_closest(ax, ay, ah, bx, by, bh, q0x, q0y, ux, uy):
@@ -867,36 +1062,57 @@ def raycasts(ox, oy, oz, dx, dy, dz, max_len, tab: FacetTables = None,
         bnz = jnp.where(closer, nz, bnz)
         best = jnp.minimum(best, t_hit)
 
+    q_ndim = jnp.ndim(ox)
+    sh = (N_PROFILE_BANDS,) + (1,) * q_ndim
     for side in range(N_SIDES):
+        bs = _band_stack(t, side)
+        bc = lambda name: _const_vec(bs[name], sh)
+        z0 = bc('z0')
+        w0 = bc('w0')
+        twb = bc('tw')
+        tzb = bc('tz')
+        L = bc('L')
+        nw = bc('nw')
+        nzb = bc('nz')
         w_o, t_o = _side_coords(t, side, ax, ay)
         w_d = t.side_nx[side] * adx + t.side_ny[side] * ady
         t_d = t.side_ux[side] * adx + t.side_uy[side] * ady
         snx, sny = t.side_nx[side], t.side_ny[side]
         sux, suy = t.side_ux[side], t.side_uy[side]
-        for b in range(N_PROFILE_BANDS):
-            denom = w_d * t.nw[b] + dz * t.nz[b]
-            s_o = (w_o - t.w0[b]) * t.nw[b] + (oz - t.z0[b]) * t.nz[b]
-            safe = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-            t_hit = -s_o / safe
-            w_h = w_o + w_d * t_hit
-            t_h = t_o + t_d * t_hit
-            z_h = oz + dz * t_hit
-            ell = (w_h - t.w0[b]) * t.tw[b] + (z_h - t.z0[b]) * t.tz[b]
-            in_prof = (ell >= -bounds_eps) & (ell <= t.length[b]
-                                              + bounds_eps)
-            t_lo = t.lo0[side] - t.loS[side] * w_h
-            t_hi = t.hi0[side] - t.hiS[side] * w_h
-            ok = (jnp.abs(denom) > 1e-9) & in_prof \
-                & (t_h >= t_lo - bounds_eps) & (t_h <= t_hi + bounds_eps)
-            if side == 2 and t.cut_t0[b] > 0:
-                cut = t.cut_t0[b] - t.cut_ts[b] * w_h
-                ok &= jnp.abs(t_h) >= cut - bounds_eps
-            # two-sided: normal faces back along the ray
-            flip = jnp.where(denom > 0, -1.0, 1.0)
-            nx, ny, nz = _unfold_normal(snx, sny, sux, suy,
-                                        t.nw[b] * flip, 0.0,
-                                        t.nz[b] * flip, sx, sy)
-            consider(t_hit, ok, nx, ny, nz)
+        # vectorized over the band axis: (B,) + S
+        denom = w_d * nw + dz * nzb
+        s_o = (w_o - w0) * nw + (oz - z0) * nzb
+        safe = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        t_hit = -s_o / safe
+        w_h = w_o + w_d * t_hit
+        t_h = t_o + t_d * t_hit
+        z_h = oz + dz * t_hit
+        ell = (w_h - w0) * twb + (z_h - z0) * tzb
+        in_prof = (ell >= -bounds_eps) & (ell <= L + bounds_eps)
+        t_lo = t.lo0[side] - t.loS[side] * w_h
+        t_hi = t.hi0[side] - t.hiS[side] * w_h
+        ok = (jnp.abs(denom) > 1e-9) & in_prof \
+            & (t_h >= t_lo - bounds_eps) & (t_h <= t_hi + bounds_eps)
+        has_cut = bc('has_cut') > 0
+        cut = bc('cut_t0') - bc('cut_ts') * w_h
+        ok &= ~(has_cut & (jnp.abs(t_h) < cut - bounds_eps))
+        # two-sided: normal faces back along the ray
+        flip = jnp.where(denom > 0, -1.0, 1.0)
+        nxb, nyb, nzb_ = _unfold_normal(snx, sny, sux, suy,
+                                        nw * flip, 0.0, nzb * flip,
+                                        sx, sy)
+        # reduce the band axis to the nearest hit before considering
+        t_hit = jnp.where(ok & (t_hit >= 0) & (t_hit <= max_len), t_hit,
+                          jnp.inf)
+        kmin = jnp.argmin(t_hit, axis=0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (N_PROFILE_BANDS,) + t_hit.shape[1:], 0)
+        one = (iota == kmin[None]).astype(w_h.dtype)
+        consider(jnp.min(t_hit, axis=0),
+                 jnp.ones(jnp.shape(w_o), bool),
+                 jnp.sum(jnp.broadcast_to(nxb, t_hit.shape) * one, axis=0),
+                 jnp.sum(jnp.broadcast_to(nyb, t_hit.shape) * one, axis=0),
+                 jnp.sum(jnp.broadcast_to(nzb_, t_hit.shape) * one,
+                         axis=0))
 
     coords_o = (ax, ay, oz)
     coords_d = (adx, ady, dz)

@@ -556,26 +556,28 @@ def _heatseeker_steer(ball: BallState, dt: float) -> BallState:
 
 def _heatseeker_on_hit(ball: BallState, touched, teams, dt: float
                        ) -> BallState:
-    """Ball::_OnHit heatseeker branch (Ball.cpp:204-216).  Contacts fire
-    per car in index order; the last toucher's write wins."""
+    """Ball::_OnHit heatseeker branch (Ball.cpp:204-216).  The reference
+    fires _OnHit once PER touching car in index order, each call reading
+    the previous call's dir/speed/timer writes — folded sequentially
+    here so same-tick opposite-team touches sequence identically."""
     HS = C.Heatseeker
-    any_touch = jnp.any(touched)
     n = touched.shape[0]
-    last = jnp.argmax(jnp.where(touched, jnp.arange(n), -1))
-    new_dir = jnp.where(teams[last] == 0, 1.0, -1.0)
-
-    can_increase = ((ball.hs_time_since_hit > HS.MIN_SPEEDUP_INTERVAL)
-                    | (ball.hs_y_target_dir == 0))
-    speedup = any_touch & can_increase & (new_dir != ball.hs_y_target_dir)
-    return ball.replace(
-        hs_time_since_hit=jnp.where(speedup, 0.0, ball.hs_time_since_hit),
-        hs_target_speed=jnp.where(
-            speedup,
-            jnp.minimum(ball.hs_target_speed + HS.TARGET_SPEED_INCREMENT,
-                        HS.MAX_SPEED),
-            ball.hs_target_speed),
-        hs_y_target_dir=jnp.where(any_touch, new_dir,
-                                  ball.hs_y_target_dir))
+    ytd = ball.hs_y_target_dir
+    speed = ball.hs_target_speed
+    tsince = ball.hs_time_since_hit
+    for c in range(n):
+        t = touched[c]
+        new_dir = jnp.where(teams[c] == 0, 1.0, -1.0)
+        can_increase = (tsince > HS.MIN_SPEEDUP_INTERVAL) | (ytd == 0)
+        sp = t & can_increase & (new_dir != ytd)
+        ytd = jnp.where(t, new_dir, ytd)
+        speed = jnp.where(
+            sp, jnp.minimum(speed + HS.TARGET_SPEED_INCREMENT,
+                            HS.MAX_SPEED), speed)
+        tsince = jnp.where(sp, 0.0, tsince)
+    return ball.replace(hs_time_since_hit=tsince,
+                        hs_target_speed=speed,
+                        hs_y_target_dir=ytd)
 
 
 def _heatseeker_wall_bounce(ball: BallState, touching, normal):

@@ -47,9 +47,8 @@ def _mesh_min_dist(grid, mask, pts):
 
 def _facet_min_dist(pts):
     px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
-    res = fa.sphere_contacts(px, py, pz, 0.0, 1e9)
-    dists = jnp.stack([gap for (_, _, _, gap, _) in res], axis=-1)
-    return jnp.min(dists, axis=-1)
+    _, _, _, gaps, _ = fa.sphere_contacts(px, py, pz, 0.0, 1e9)
+    return jnp.min(gaps, axis=0)
 
 
 def _sample_points(grid, mask, n, seed, off_lo=-5.0, off_hi=140.0):
@@ -111,11 +110,11 @@ def test_resting_ball_contact_normals(grid, wall_tri_mask):
     inward = np.where(inward == 0, 1.0, inward)
     n_in = nrm[ti] * inward
     pts = jnp.asarray(cen + n_in * r, jnp.float32)
-    res = fa.sphere_contacts(pts[:, 0], pts[:, 1], pts[:, 2], r, 2.0)
-    gaps = jnp.stack([g for (_, _, _, g, _) in res], axis=-1)
-    res_n = jnp.stack(
-        [jnp.stack(jnp.broadcast_arrays(r0, r1, r2), -1)
-         for (r0, r1, r2, g, act) in res], axis=1)   # (N, F, 3)
+    nx_s, ny_s, nz_s, gaps_s, _ = fa.sphere_contacts(
+        pts[:, 0], pts[:, 1], pts[:, 2], r, 2.0)
+    gaps = jnp.moveaxis(gaps_s, 0, -1)               # (N, F)
+    res_n = jnp.moveaxis(jnp.stack([nx_s, ny_s, nz_s], -1), 0, 1)
+    # (N, F, 3)
     # some facet must reproduce the sampled surface: face normal matching
     # the triangle's, gap ~ 0 (the ball may simultaneously touch OTHER
     # surfaces more deeply, e.g. inside the goal box)
